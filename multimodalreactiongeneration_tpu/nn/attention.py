@@ -1,0 +1,136 @@
+"""Multi-head attention with torch-parity semantics (kdim/vdim, bool masks).
+
+Replaces torch.nn.MultiheadAttention as used by the reference in
+MultiModalAttentionBlockSequential (multi_modal_att.py:12-19) and
+MHAforSequentail (for_sequential.py:27-37). Differences by design:
+
+  * masks arrive as bool (True = masked) at rank 2/3/4 and are broadcast
+    per head inside the kernel instead of being materialized (B*H, L, S)
+    as the reference does (multi_modal_metaformer.py:64-65,74).
+  * fully-masked rows produce a uniform average instead of torch's NaN —
+    the reference only ever hits such rows on padding positions whose
+    outputs are discarded by the loss mask, so behavior is equivalent
+    where it matters, and finite values keep XLA fusions NaN-free.
+  * projections are stored in torch layout (out_features, in_features)
+    under torch-compatible names so a torch state_dict imports without
+    reshaping (checkpoint importer, train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e30
+
+
+def _xavier_uniform_torch(key, shape, dtype=jnp.float32):
+    # torch nn.MultiheadAttention uses xavier_uniform_ on projection weights
+    fan_out, fan_in = shape[0], shape[1]
+    bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _broadcast_mask(
+    attn_mask: Optional[jnp.ndarray],
+    batch: int,
+    heads: int,
+    q_len: int,
+    k_len: int,
+) -> Optional[jnp.ndarray]:
+    """Accept (L,S), (B,L,S), (B*H,L,S) or (B,H,L,S) -> (B,H,L,S) or None."""
+    if attn_mask is None:
+        return None
+    if attn_mask.ndim == 2:
+        return attn_mask[None, None]
+    if attn_mask.ndim == 3:
+        if attn_mask.shape[0] == batch * heads:
+            return attn_mask.reshape(batch, heads, q_len, k_len)
+        return attn_mask[:, None]
+    return attn_mask
+
+
+def scaled_dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B,H,L,Dh) x (B,H,S,Dh) x (B,H,S,Dh) -> (B,H,L,Dh).
+
+    bool mask True = masked. Softmax is computed in f32 with a finite
+    -1e30 bias: masked logits underflow to exactly 0 probability unless the
+    entire row is masked (then the row degrades to a uniform average).
+    """
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, jnp.asarray(NEG_INF, logits.dtype), logits)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhls,bhsd->bhld", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class TorchMHA(nn.Module):
+    """torch.nn.MultiheadAttention(batch_first=True) equivalent."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        e = self.embed_dim
+        h = self.num_heads
+        dh = e // h
+        kdim = self.kdim if self.kdim is not None else e
+        vdim = self.vdim if self.vdim is not None else e
+        batch, q_len = query.shape[0], query.shape[1]
+        k_len = key.shape[1]
+
+        w_q = self.param("q_proj_weight", _xavier_uniform_torch, (e, e))
+        w_k = self.param("k_proj_weight", _xavier_uniform_torch, (e, kdim))
+        w_v = self.param("v_proj_weight", _xavier_uniform_torch, (e, vdim))
+        out_w = self.param("out_proj_weight", _xavier_uniform_torch, (e, e))
+        if self.use_bias:
+            b_q = self.param("q_proj_bias", nn.initializers.zeros, (e,))
+            b_k = self.param("k_proj_bias", nn.initializers.zeros, (e,))
+            b_v = self.param("v_proj_bias", nn.initializers.zeros, (e,))
+            out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
+        else:
+            b_q = b_k = b_v = out_b = 0.0
+
+        q = jnp.einsum("blk,ek->ble", query, w_q) + b_q
+        k = jnp.einsum("bsk,ek->bse", key, w_k) + b_k
+        v = jnp.einsum("bsk,ek->bse", value, w_v) + b_v
+
+        q = q.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
+
+        mask = _broadcast_mask(attn_mask, batch, h, q_len, k_len)
+        ctx = scaled_dot_attention(q, k, v, mask)
+        if self.dropout > 0 and not deterministic:
+            # torch drops attention *weights*; dropping the context rows is
+            # a close, fusion-friendly approximation used only in training.
+            ctx = nn.Dropout(self.dropout)(ctx, deterministic=False)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, q_len, e)
+        return jnp.einsum("ble,oe->blo", ctx, out_w) + out_b

@@ -1,0 +1,65 @@
+"""Config system: interpolation, mandatory fields, CLI overrides."""
+
+import pytest
+
+from multimodalreactiongeneration_tpu.utils.config import (
+    MandatoryValueError,
+    from_dict,
+    load_config,
+)
+
+BASE = {
+    "hidden_size": 256,
+    "lr": 5e-6,
+    "name": "cradle-01",
+    "data_dir": "???",
+    "model": {
+        "hidden_size": "${hidden_size}",
+        "tag": "run-${name}",
+        "emb_mixers": ["lstm", "lstm", "lstm"],
+        "nested": {"lr": "${lr}"},
+    },
+}
+
+
+def test_interpolation_preserves_type():
+    cfg = from_dict(BASE)
+    assert cfg.model.hidden_size == 256
+    assert isinstance(cfg.model.hidden_size, int)
+    assert cfg.model.nested.lr == 5e-6
+    assert cfg.model.tag == "run-cradle-01"
+
+
+def test_mandatory_raises():
+    cfg = from_dict(BASE)
+    with pytest.raises(MandatoryValueError):
+        _ = cfg.data_dir
+    assert cfg.get("data_dir", "fallback") == "fallback"
+
+
+def test_overrides_typed():
+    cfg = from_dict(
+        BASE,
+        overrides=[
+            "data_dir=/tmp/corpus",
+            "hidden_size=128",
+            "model.flag=false",
+            "name=exp2",
+        ],
+    )
+    assert cfg.data_dir == "/tmp/corpus"
+    assert cfg.model.hidden_size == 128  # interpolation sees the override
+    assert cfg.model.flag is False
+    assert cfg.model.tag == "run-exp2"
+
+
+def test_yaml_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a: 1\nb: ${a}\ngrp:\n  c: ${b}\n")
+    cfg = load_config(str(p))
+    assert cfg.grp.c == 1
+
+
+def test_equality_for_cache_protocol():
+    assert from_dict(BASE) == from_dict(BASE)
+    assert from_dict(BASE) != from_dict(BASE, overrides=["hidden_size=1"])

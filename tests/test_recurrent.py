@@ -1,0 +1,83 @@
+"""Numerical parity of lax.scan LSTM/GRU against torch.nn with shared weights."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from multimodalreactiongeneration_tpu.nn.recurrent import TorchGRU, TorchLSTM
+
+
+def torch_params_to_flax(module: torch.nn.Module):
+    return {
+        "params": {
+            name: jnp.asarray(p.detach().numpy())
+            for name, p in module.named_parameters()
+        }
+    }
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_lstm_matches_torch(bidirectional, num_layers):
+    torch.manual_seed(0)
+    B, T, I, H = 3, 11, 7, 5
+    t_lstm = torch.nn.LSTM(
+        I, H, num_layers=num_layers, batch_first=True, bidirectional=bidirectional
+    )
+    x = torch.randn(B, T, I)
+    with torch.no_grad():
+        t_y, (t_h, t_c) = t_lstm(x)
+
+    model = TorchLSTM(
+        input_size=I,
+        hidden_size=H,
+        num_layers=num_layers,
+        bidirectional=bidirectional,
+    )
+    y, (h, c) = model.apply(torch_params_to_flax(t_lstm), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), t_h.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), t_c.numpy(), atol=1e-5)
+
+
+def test_lstm_state_carry_matches_torch():
+    torch.manual_seed(1)
+    B, T, I, H = 2, 6, 4, 8
+    t_lstm = torch.nn.LSTM(I, H, batch_first=True)
+    x1, x2 = torch.randn(B, T, I), torch.randn(B, T, I)
+    with torch.no_grad():
+        _, st = t_lstm(x1)
+        t_y, (t_h, t_c) = t_lstm(x2, st)
+
+    model = TorchLSTM(input_size=I, hidden_size=H)
+    params = torch_params_to_flax(t_lstm)
+    _, st_j = model.apply(params, jnp.asarray(x1.numpy()))
+    y, (h, c) = model.apply(params, jnp.asarray(x2.numpy()), st_j)
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), t_h.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_gru_matches_torch(bidirectional):
+    torch.manual_seed(2)
+    B, T, I, H = 3, 9, 6, 5
+    t_gru = torch.nn.GRU(I, H, batch_first=True, bidirectional=bidirectional)
+    x = torch.randn(B, T, I)
+    with torch.no_grad():
+        t_y, t_h = t_gru(x)
+
+    model = TorchGRU(input_size=I, hidden_size=H, bidirectional=bidirectional)
+    y, h = model.apply(torch_params_to_flax(t_gru), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), t_h.numpy(), atol=1e-5)
+
+
+def test_lstm_init_shapes():
+    import jax
+
+    model = TorchLSTM(input_size=4, hidden_size=3, num_layers=2, bidirectional=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 4)))
+    names = set(params["params"].keys())
+    assert "weight_ih_l0" in names and "weight_ih_l1_reverse" in names
+    assert params["params"]["weight_ih_l1"].shape == (12, 6)
