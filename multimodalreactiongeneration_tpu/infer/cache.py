@@ -1,0 +1,65 @@
+"""Fixed-shape KV ring buffer for autoregressive decode under lax.scan.
+
+TPU-native replacement for the reference's inference-time KV concat +
+"truncation" (mixer_block.py:591-601): concatenation grows tensors every
+step (shape-unstable, un-scannable) and its ``[-max_context_len:]`` slice
+hits the batch dim, so the documented per-modality context budget
+(lstmformer.py:102-110, config max_context_len seconds x rate) never
+actually applied. Here the budget is enforced exactly: a capacity-C ring
+buffer holds the most recent C keys/values; every shape is static so the
+whole decode loop compiles to one lax.scan.
+
+A cache is a plain pytree dict:
+  {"k": (B, C, Dk), "v": (B, C, Dv), "length": int32 scalar}
+``length`` counts total tokens ever appended (not clamped to C).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+KVCache = Dict[str, jnp.ndarray]
+
+
+def cache_init(
+    batch: int,
+    capacity: int,
+    kdim: int,
+    vdim: Optional[int] = None,
+    dtype=jnp.float32,
+) -> KVCache:
+    vdim = kdim if vdim is None else vdim
+    return {
+        "k": jnp.zeros((batch, capacity, kdim), dtype),
+        "v": jnp.zeros((batch, capacity, vdim), dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def cache_extend(
+    cache: KVCache, key: jnp.ndarray, value: jnp.ndarray
+) -> Tuple[KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Append (B, n, D) new keys/values; return (cache', k, v, mask).
+
+    The returned k/v are the full (B, C, D) buffers and ``mask`` is a
+    (1, C) bool attention mask (True = masked) hiding never-written slots.
+    Slot order is rotation-invariant for attention (softmax is permutation
+    equivariant over keys), so no unrolling gather is needed.
+
+    Decode steps are causally after everything cached, and within-step new
+    keys are all causally visible to the step's queries (rectangular rule
+    with q_len=1: nothing masked), so validity is the only mask needed.
+    """
+    n = key.shape[1]
+    capacity = cache["k"].shape[1]
+    length = cache["length"]
+    pos = (length + jnp.arange(n, dtype=jnp.int32)) % capacity
+    new_k = cache["k"].at[:, pos].set(key)
+    new_v = cache["v"].at[:, pos].set(value)
+    new_len = length + n
+    valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(new_len, capacity)
+    mask = ~valid[None, :]
+    new_cache = {"k": new_k, "v": new_v, "length": new_len}
+    return new_cache, new_k, new_v, mask

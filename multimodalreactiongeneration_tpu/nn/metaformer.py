@@ -1,0 +1,177 @@
+"""Multimodal metaformer (reference multi_modal_metaformer.py:82-509).
+
+Architecture, behavior-matched to the reference:
+  * per-modal feature Linear into hidden_dim (:433-435)
+  * block = per-modal embedding mixers -> cross-attention of the main
+    modal into each other modal -> concat -> Linear -> FFN (:220-338)
+  * first block encodes other modals; later blocks re-encode them only
+    when repeat_with_encoder, otherwise the first block's encodings are
+    reused by every integrator (:449-461)
+  * output FeedForward maps hidden_dim -> motion feature dim (:473-474)
+
+State handling is re-designed (see nn/mixers.py docstring): ``states`` is
+a list of per-block dicts {"emb": [...], "crm": [...]} threaded
+functionally; recurrent embedding mixers carry (h, c), attention paths
+carry fixed-shape KV ring buffers during decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodalreactiongeneration_tpu.nn.basic import LN_EPS, FeedForward
+from multimodalreactiongeneration_tpu.nn.mixers import (
+    MHAMixerLayerd,
+    build_mixer_layerd,
+)
+
+BlockState = Dict[str, List[Any]]
+
+
+class MultiModalMetaformerBlock(nn.Module):
+    """embed -> integrate -> feedforward (reference :220-338)."""
+
+    num_modal: int
+    main_mixer: Tuple[str, Dict[str, Any]]
+    other_mixers: Sequence[Tuple[str, Dict[str, Any]]]  # empty if no encoders
+    integrate_configs: Sequence[Dict[str, Any]]
+    feedforward_config: Dict[str, Any]
+    encode_other_modal: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        main_modal: jnp.ndarray,
+        other_modals: List[jnp.ndarray],
+        state: Optional[BlockState] = None,
+        self_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        cross_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], BlockState]:
+        n_others = self.num_modal - 1
+        self_masks = self_masks or [None] * self.num_modal
+        cross_masks = cross_masks or [None] * n_others
+        emb_state = state["emb"] if state else [None] * self.num_modal
+        crm_state = state["crm"] if state else [None] * n_others
+
+        new_state: BlockState = {"emb": [], "crm": []}
+
+        # --- embedding -----------------------------------------------------
+        embed_inputs = [main_modal] + (
+            list(other_modals) if self.encode_other_modal else []
+        )
+        mixers = [self.main_mixer] + (
+            list(self.other_mixers) if self.encode_other_modal else []
+        )
+        embedded = []
+        for i, ((mixer_type, cfg), x) in enumerate(zip(mixers, embed_inputs)):
+            layerd = build_mixer_layerd(mixer_type, cfg, name=f"emb_{i}")
+            if mixer_type == "mha":
+                y, st = layerd(
+                    x,
+                    attn_mask=self_masks[i],
+                    caches=emb_state[i],
+                    deterministic=deterministic,
+                )
+            else:
+                y, st = layerd(x, emb_state[i], deterministic=deterministic)
+            embedded.append(y)
+            new_state["emb"].append(st)
+        main_out = embedded[0]
+        if self.encode_other_modal:
+            other_modals = embedded[1:]
+
+        # --- integrate (cross attention into each other modal) -------------
+        ys = []
+        for i, cfg in enumerate(self.integrate_configs):
+            integ = MHAMixerLayerd(
+                **{**cfg, "self_attention": False}, name=f"integrate_{i}"
+            )
+            y, st = integ(
+                main_out,
+                key=other_modals[i],
+                value=other_modals[i],
+                attn_mask=cross_masks[i],
+                caches=crm_state[i],
+                deterministic=deterministic,
+            )
+            ys.append(y)
+            new_state["crm"].append(st)
+        merged = jnp.concatenate(ys, axis=-1)
+        ffn_dim = self.feedforward_config["hidden_size"]
+        merged = nn.Dense(ffn_dim, name="cat_linear")(merged)
+
+        # --- feedforward ----------------------------------------------------
+        out = FeedForward(**self.feedforward_config, name="feed_forward")(merged)
+        return out, list(other_modals), new_state
+
+
+class MultiModalMetaformer(nn.Module):
+    """Stack of metaformer blocks + output FFN (reference :341-509)."""
+
+    modal_num: int
+    hidden_dim: int
+    num_layer: int
+    main_modal_feature_dim: int
+    other_modal_feature_dim: Sequence[int]
+    main_mixer: Tuple[str, Dict[str, Any]]
+    other_mixers: Sequence[Tuple[str, Dict[str, Any]]]
+    integrate_configs: Sequence[Dict[str, Any]]
+    feedforward_config: Dict[str, Any]
+    output_feedforward_config: Dict[str, Any]
+    repeat_with_encoder: bool = False
+    interlayer_residual: bool = False
+    interlayer_residual_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        main_modal: jnp.ndarray,
+        other_modals: List[jnp.ndarray],
+        states: Optional[List[BlockState]] = None,
+        self_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        cross_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[BlockState]]:
+        # feature projections (reference :433-435, 486-490)
+        main = nn.Dense(self.hidden_dim, name="feature_embedding_0")(main_modal)
+        others = [
+            nn.Dense(self.hidden_dim, name=f"feature_embedding_{i + 1}")(om)
+            for i, om in enumerate(other_modals)
+        ]
+
+        new_states: List[BlockState] = []
+        for layer in range(self.num_layer):
+            encode = layer == 0 or self.repeat_with_encoder
+            block = MultiModalMetaformerBlock(
+                num_modal=self.modal_num,
+                main_mixer=self.main_mixer,
+                other_mixers=self.other_mixers if encode else (),
+                integrate_configs=self.integrate_configs,
+                feedforward_config=self.feedforward_config,
+                encode_other_modal=encode,
+                name=f"block_{layer}",
+            )
+            st = None if states is None else states[layer]
+            y, others, new_st = block(
+                main,
+                others,
+                st,
+                self_masks,
+                cross_masks,
+                deterministic=deterministic,
+            )
+            if self.interlayer_residual:
+                y = y + main
+                if self.interlayer_residual_norm:
+                    y = nn.LayerNorm(epsilon=LN_EPS, name=f"inter_norm_{layer}")(y)
+            main = y
+            new_states.append(new_st)
+
+        out = FeedForward(**self.output_feedforward_config, name="output_ff")(main)
+        return out, others, new_states

@@ -1,0 +1,380 @@
+"""Token-mixer family: MLP / GRU / LSTM / MHA mixers, blocks, stacks.
+
+Behavioral re-design of the reference's mixer zoo
+(/root/reference/mr_gen/model/utils/mixer_block.py, 1017 LoC of tuple-piped
+nn.Sequential protocol). Structure kept (Mixer -> MixerBlock -> MixerLayerd
+-> factory; mixer+FFN with residual/LN wraps at every level), state
+threading re-designed:
+
+  * states are explicit per-block lists passed in/out — no split_state
+    consumption protocol (mixer_block.py:21-30).
+  * recurrent stacks RETURN their fresh states. The reference's layerd
+    wrappers accidentally return the consumed input list instead
+    (mixer_block.py:754-759, 838-843), so its AR decoding never carries
+    GRU/LSTM memory. We implement the evident intent; the AR engine has a
+    reference-effective-behavior switch.
+  * inference-time KV caching (mixer_block.py:591-601) becomes a
+    fixed-shape ring buffer (see infer/cache.py) usable inside lax.scan.
+    The reference's ``[-max_context_len:]`` truncation slices the *batch*
+    dim (a no-op); the ring buffer implements the documented intent of a
+    per-modality context budget (lstmformer.py:102-110).
+
+Training-mode forward (cache=None) matches the reference's training path
+exactly: full-sequence attention under the supplied mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodalreactiongeneration_tpu.infer.cache import KVCache, cache_extend
+from multimodalreactiongeneration_tpu.nn.attention import TorchMHA
+from multimodalreactiongeneration_tpu.nn.basic import (
+    LN_EPS,
+    FeedForward,
+    set_nonlinearity,
+)
+from multimodalreactiongeneration_tpu.nn.recurrent import TorchGRU, TorchLSTM
+
+
+def _residual_wrap(y, x, use_residual, use_norm, norm):
+    if not use_residual:
+        return y
+    y = y + x
+    if use_norm:
+        y = norm(y)
+    return y
+
+
+class MLPMixerBlock(nn.Module):
+    """MLP mixer + FFN (reference mixer_block.py:114-166, 308-352)."""
+
+    hidden_size: int
+    num_layer: int = 1
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True):
+        act = set_nonlinearity(self.nonlinearity)
+        y = x
+        y = nn.Dense(self.hidden_size, use_bias=self.use_bias, name="input")(y)
+        if act is not None:
+            y = act(y)
+        for i in range(1, self.num_layer):
+            y = nn.Dense(
+                self.hidden_size, use_bias=self.use_bias, name=f"hidden_{i}"
+            )(y)
+            if act is not None:
+                y = act(y)
+        y = nn.Dense(self.hidden_size, use_bias=self.use_bias, name="output")(y)
+        y = _residual_wrap(
+            y, x, self.residual, self.residual_layer_norm,
+            nn.LayerNorm(epsilon=LN_EPS, name="mixer_norm"),
+        )
+        y = FeedForward(
+            hidden_size=self.hidden_size,
+            bottleneck_size=self.bottleneck_size,
+            nonlinearity=self.nonlinearity,
+            residual=self.residual,
+            residual_layer_norm=self.residual_layer_norm,
+            use_bias=self.use_bias,
+            name="feed_forward",
+        )(y)
+        return y
+
+
+class RecurrentMixerBlock(nn.Module):
+    """GRU/LSTM mixer + FFN (reference mixer_block.py:355-507).
+
+    ``kind`` in {"gru", "lstm"}. Bidirectional halves the hidden size so
+    the concat matches hidden_size (mixer_block.py:185-190, 228-233).
+    """
+
+    hidden_size: int
+    kind: str = "lstm"
+    num_layers: int = 1
+    dropout: float = 0.0
+    bidirectional: bool = False
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, hx=None, *, deterministic: bool = True):
+        hidden = self.hidden_size
+        if self.bidirectional:
+            if hidden % 2:
+                raise ValueError("hidden_size must be even when bidirectional")
+            hidden //= 2
+        if self.kind == "lstm":
+            rnn = TorchLSTM(
+                input_size=self.hidden_size,
+                hidden_size=hidden,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                bidirectional=self.bidirectional,
+                name="mixer",
+            )
+        elif self.kind == "gru":
+            rnn = TorchGRU(
+                input_size=self.hidden_size,
+                hidden_size=hidden,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                bidirectional=self.bidirectional,
+                name="mixer",
+            )
+        else:
+            raise ValueError(f"kind must be gru/lstm, got {self.kind!r}")
+        y, new_hx = rnn(x, hx, deterministic=deterministic)
+        y = _residual_wrap(
+            y, x, self.residual, self.residual_layer_norm,
+            nn.LayerNorm(epsilon=LN_EPS, name="mixer_norm"),
+        )
+        y = FeedForward(
+            hidden_size=self.hidden_size,
+            bottleneck_size=self.bottleneck_size,
+            nonlinearity=self.nonlinearity,
+            residual=self.residual,
+            residual_layer_norm=self.residual_layer_norm,
+            use_bias=self.use_bias,
+            name="feed_forward",
+        )(y)
+        return y, new_hx
+
+
+class MHAMixerBlock(nn.Module):
+    """MHA mixer (N inner layers) + FFN (reference mixer_block.py:510-603).
+
+    cache=None  -> full-sequence attention under attn_mask (training path).
+    cache given -> decode path: new k/v appended to the ring buffer, the
+                   query attends over all valid cached entries.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    num_heads: int = 1
+    dropout: float = 0.0
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        act = set_nonlinearity(self.nonlinearity)
+        new_cache = cache
+        if cache is not None:
+            new_cache, key, value, attn_mask = cache_extend(cache, key, value)
+
+        y = query
+        for i in range(self.num_layers):
+            y_att = TorchMHA(
+                embed_dim=self.hidden_size,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                kdim=self.kdim,
+                vdim=self.vdim,
+                use_bias=self.use_bias,
+                name=f"mha_{i}",
+            )(y, key, value, attn_mask, deterministic=deterministic)
+            if act is not None:
+                y_att = act(y_att)
+            y = y_att
+        y = _residual_wrap(
+            y, query, self.residual, self.residual_layer_norm,
+            nn.LayerNorm(epsilon=LN_EPS, name="mixer_norm"),
+        )
+        y = FeedForward(
+            hidden_size=self.hidden_size,
+            bottleneck_size=self.bottleneck_size,
+            nonlinearity=self.nonlinearity,
+            residual=self.residual,
+            residual_layer_norm=self.residual_layer_norm,
+            use_bias=self.use_bias,
+            name="feed_forward",
+        )(y)
+        return y, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Layered stacks (reference mixer_block.py:606-963)
+# ---------------------------------------------------------------------------
+
+
+class MLPMixerLayerd(nn.Module):
+    hidden_size: int
+    num_layerd: int = 1
+    num_internal_layer: int = 1
+    input_projection_size: Optional[int] = None
+    output_projection_size: Optional[int] = None
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, hx=None, *, deterministic: bool = True):
+        if self.input_projection_size is not None:
+            x = nn.Dense(self.hidden_size, name="input_projection")(x)
+        for i in range(self.num_layerd):
+            x = MLPMixerBlock(
+                hidden_size=self.hidden_size,
+                num_layer=self.num_internal_layer,
+                nonlinearity=self.nonlinearity,
+                residual=self.residual,
+                residual_layer_norm=self.residual_layer_norm,
+                bottleneck_size=self.bottleneck_size,
+                use_bias=self.use_bias,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        if self.output_projection_size is not None:
+            x = nn.Dense(self.output_projection_size, name="output_projection")(x)
+        return x, None
+
+
+class RecurrentMixerLayerd(nn.Module):
+    hidden_size: int
+    kind: str = "lstm"
+    num_layerd: int = 1
+    num_internal_layer: int = 1
+    dropout: float = 0.0
+    bidirectional: bool = False
+    input_projection_size: Optional[int] = None
+    output_projection_size: Optional[int] = None
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        hx: Optional[List[Any]] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        if self.input_projection_size is not None:
+            x = nn.Dense(self.hidden_size, name="input_projection")(x)
+        new_states = []
+        for i in range(self.num_layerd):
+            block_hx = None if hx is None else hx[i]
+            x, bhx = RecurrentMixerBlock(
+                hidden_size=self.hidden_size,
+                kind=self.kind,
+                num_layers=self.num_internal_layer,
+                dropout=self.dropout,
+                bidirectional=self.bidirectional,
+                nonlinearity=self.nonlinearity,
+                residual=self.residual,
+                residual_layer_norm=self.residual_layer_norm,
+                bottleneck_size=self.bottleneck_size,
+                use_bias=self.use_bias,
+                name=f"block_{i}",
+            )(x, block_hx, deterministic=deterministic)
+            new_states.append(bhx)
+        if self.output_projection_size is not None:
+            x = nn.Dense(self.output_projection_size, name="output_projection")(x)
+        return x, new_states
+
+
+class MHAMixerLayerd(nn.Module):
+    """Self- or cross-attention stack (reference mixer_block.py:846-963)."""
+
+    hidden_size: int
+    self_attention: bool = False
+    num_layerd: int = 1
+    num_internal_layer: int = 1
+    num_heads: int = 1
+    dropout: float = 0.0
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    input_projection_size: Optional[int] = None
+    output_projection_size: Optional[int] = None
+    nonlinearity: Optional[str] = None
+    residual: bool = False
+    residual_layer_norm: bool = False
+    bottleneck_size: Optional[int] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        caches: Optional[List[Optional[KVCache]]] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        query = x
+        if self.input_projection_size is not None:
+            query = nn.Dense(self.hidden_size, name="input_projection")(query)
+        if self.self_attention:
+            key, value = query, query
+        if key is None or value is None:
+            raise ValueError("key/value required when self_attention is False")
+
+        new_caches = []
+        for i in range(self.num_layerd):
+            cache = None if caches is None else caches[i]
+            query, new_cache = MHAMixerBlock(
+                hidden_size=self.hidden_size,
+                num_layers=self.num_internal_layer,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                kdim=self.kdim,
+                vdim=self.vdim,
+                nonlinearity=self.nonlinearity,
+                residual=self.residual,
+                residual_layer_norm=self.residual_layer_norm,
+                bottleneck_size=self.bottleneck_size,
+                use_bias=self.use_bias,
+                name=f"block_{i}",
+            )(query, key, value, attn_mask, cache, deterministic=deterministic)
+            new_caches.append(new_cache)
+        if self.output_projection_size is not None:
+            query = nn.Dense(self.output_projection_size, name="output_projection")(
+                query
+            )
+        return query, new_caches
+
+
+def build_mixer_layerd(mixer_type: str, configs: Dict[str, Any], name=None):
+    """MixerLayerdFactory equivalent (reference mixer_block.py:993-1017).
+
+    ``configs`` uses this framework's kwargs; models translate reference
+    YAML fields (train harness does the mapping once, models/*.py).
+    """
+    if mixer_type == "mlp":
+        return MLPMixerLayerd(**configs, name=name)
+    if mixer_type in ("gru", "lstm"):
+        return RecurrentMixerLayerd(kind=mixer_type, **configs, name=name)
+    if mixer_type == "mha":
+        return MHAMixerLayerd(**configs, name=name)
+    raise ValueError(f"mixer_type must be mlp/gru/lstm/mha, got {mixer_type!r}")
