@@ -1,0 +1,66 @@
+"""Device mesh construction and shardings.
+
+Replaces the reference's distributed layer wholesale (SURVEY.md §5.8):
+Lightning DDP / torch.distributed / NCCL (trainer.strategy: ddp,
+lstmformer/config.yaml:121-127) becomes a jax.sharding Mesh with batch
+sharded over a 'data' axis and parameters replicated; XLA inserts the
+gradient psum during jit. Multi-host extends via jax.distributed.
+
+The mesh is 1-D ('data') for parity with the reference's DP-only scaling;
+the helpers accept extra axes so tensor-parallel layouts can be added
+without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Host numpy batch pytree -> device arrays sharded on 'data'.
+
+    Every leaf's leading dim must divide the data-axis size; the loaders
+    guarantee that via drop_last / batch padding.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def pad_batch_to_devices(batch_np, n_devices: int, pad_value: float):
+    """Pad the batch dim so it divides the mesh (masked rows contribute
+    nothing to the loss thanks to the -100 loss mask)."""
+
+    def pad(x):
+        b = x.shape[0]
+        rem = (-b) % n_devices
+        if rem == 0:
+            return x
+        fill = np.full((rem,) + x.shape[1:], pad_value, x.dtype)
+        return np.concatenate([x, fill], axis=0)
+
+    return jax.tree_util.tree_map(pad, batch_np)

@@ -1,0 +1,145 @@
+"""Checkpointing: orbax top-k saver + torch state_dict importer.
+
+Reference semantics (SURVEY.md §5.4): Lightning ModelCheckpoint keeps
+top-k on val_loss plus a last checkpoint (simple_lstm/trainer.py:33-41,
+lstmformer/trainer.py:33-57); restore is torch.load(...)["state_dict"]
+(model_loader.py:13-26). Here:
+
+  * TopKCheckpointer: orbax PyTreeCheckpointer, dirs V{epoch}-{val_loss}
+    mirroring the reference's filename scheme, plus `last`.
+  * import_torch_state_dict: maps a torch state_dict (tensors already
+    converted to numpy arrays — e.g. via `torch.load` elsewhere) onto a
+    flax params pytree, transposing Linear kernels and splitting MHA
+    in_proj weights. This preserves the reference's public ckpt format.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class TopKCheckpointer:
+    def __init__(self, directory: str, top_k: int = 5, monitor: str = "V"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.top_k = top_k
+        self.monitor = monitor
+        self._saved: List[Tuple[float, str]] = []  # (val_loss, path)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _save(self, path: str, params, opt_state, epoch: int):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        payload = {
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "epoch": epoch,
+        }
+        # opt_state can contain non-array leaves; store arrays only
+        self._ckpt.save(path, payload)
+
+    def maybe_save(self, params, opt_state, epoch: int, val_loss: float):
+        name = f"{self.monitor}{epoch}-{val_loss:.6f}"
+        path = os.path.join(self.directory, name)
+        if len(self._saved) < self.top_k:
+            self._save(path, params, opt_state, epoch)
+            self._saved.append((val_loss, path))
+            self._saved.sort()
+            return True
+        worst_loss, worst_path = self._saved[-1]
+        if val_loss < worst_loss:
+            self._save(path, params, opt_state, epoch)
+            if os.path.exists(worst_path):
+                shutil.rmtree(worst_path)
+            self._saved[-1] = (val_loss, path)
+            self._saved.sort()
+            return True
+        return False
+
+    def save_last(self, params, opt_state, epoch: int):
+        self._save(os.path.join(self.directory, "last"), params, opt_state, epoch)
+
+    def best_path(self) -> Optional[str]:
+        return self._saved[0][1] if self._saved else None
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax import
+# ---------------------------------------------------------------------------
+
+
+def _assign(tree: Dict[str, Any], dotted: str, value: np.ndarray):
+    parts = dotted.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    name_map: Dict[str, str],
+) -> Dict[str, Any]:
+    """Build a flax params dict from torch tensors.
+
+    ``name_map``: torch prefix -> flax path prefix. Rules applied:
+      * ``*.weight`` of Linear layers -> ``kernel`` transposed (out,in)->(in,out)
+      * ``*.bias`` -> ``bias``
+      * LSTM/GRU ``weight_ih_l*``/``bias_*`` copied verbatim (our recurrent
+        params use torch layout by construction, nn/recurrent.py)
+      * LayerNorm weight/bias -> scale/bias
+      * MHA in_proj_weight/bias split into q/k/v thirds
+    """
+    params: Dict[str, Any] = {}
+    for tname, array in state_dict.items():
+        flax_prefix = None
+        rest = None
+        for prefix, mapped in sorted(name_map.items(), key=lambda x: -len(x[0])):
+            if tname.startswith(prefix):
+                flax_prefix = mapped
+                rest = tname[len(prefix) :].lstrip(".")
+                break
+        if flax_prefix is None:
+            continue
+        array = np.asarray(array)
+
+        if "in_proj_weight" in rest:
+            for part, sub in zip(("q", "k", "v"), np.split(array, 3, axis=0)):
+                _assign(params, f"{flax_prefix}/{part}_proj_weight", sub)
+            continue
+        if "in_proj_bias" in rest:
+            for part, sub in zip(("q", "k", "v"), np.split(array, 3, axis=0)):
+                _assign(params, f"{flax_prefix}/{part}_proj_bias", sub)
+            continue
+        if rest.startswith(("weight_ih", "weight_hh", "bias_ih", "bias_hh")):
+            _assign(params, f"{flax_prefix}/{rest}", array)
+            continue
+        if rest.endswith("out_proj.weight"):
+            _assign(params, f"{flax_prefix}/out_proj_weight", array)
+            continue
+        if rest.endswith("out_proj.bias"):
+            _assign(params, f"{flax_prefix}/out_proj_bias", array)
+            continue
+        if rest.endswith("weight"):
+            base = rest[: -len(".weight")].replace(".", "/")
+            base = f"{flax_prefix}/{base}" if base else flax_prefix
+            if array.ndim == 2:
+                _assign(params, f"{base}/kernel", array.T)
+            else:  # LayerNorm weight
+                _assign(params, f"{base}/scale", array)
+            continue
+        if rest.endswith("bias"):
+            base = rest[: -len(".bias")].replace(".", "/")
+            base = f"{flax_prefix}/{base}" if base else flax_prefix
+            _assign(params, f"{base}/bias", array)
+            continue
+    return params

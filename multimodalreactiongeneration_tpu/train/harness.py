@@ -1,0 +1,335 @@
+"""Training harness: jitted mesh-sharded train/eval steps + fit loop.
+
+Replaces the reference's PyTorch-Lightning trainers
+(/root/reference/mr_gen/model/*/trainer.py) and training_step/
+validation_step logic (lstmformer.py:357-424, lstm_with_sample.py:278-337,
+simple_lstm.py:239-269):
+
+  * loss masking is bit-matched: pred AND target multiplied by the
+    (target != -100) mask, then a FULL-tensor mean — padding positions
+    contribute zeros to the numerator but stay in the denominator
+    (lstmformer.py:372-380; SURVEY.md §7 hard-part #1)
+  * sqrt(delta_loss_scale) on delta channels (lstmformer.py:376-378)
+  * leading warmup frames sliced off predictions (y[:, lead_len:],
+    lstmformer.py:363-369)
+  * per-epoch cosine LR, AdamW/SGD (configure_optimizers parity)
+  * checkpoint top-k on val_loss (+ genrt/train monitors), early stopping
+    (trainer.py:31-57), metrics to JSONL (wandb-free observability)
+
+TPU design: one jitted step = forward + loss + grad + optax update, batch
+sharded over the mesh 'data' axis, params replicated; XLA inserts the
+gradient all-reduce (psum) — this is the whole DDP replacement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodalreactiongeneration_tpu.data.dataset import PADDING_VALUE
+from multimodalreactiongeneration_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from multimodalreactiongeneration_tpu.train import checkpoint as ckpt_lib
+from multimodalreactiongeneration_tpu.train.losses import build_loss
+from multimodalreactiongeneration_tpu.train.metrics import (
+    MetricAccumulator,
+    gen_target_dict,
+    per_slice_sq_err,
+)
+from multimodalreactiongeneration_tpu.train.optim import (
+    build_optimizer,
+    cosine_annealing,
+    set_learning_rate,
+)
+
+Batch = List[Tuple[np.ndarray, np.ndarray]]
+
+
+def delta_scaler(feat_dim: int, delta_order: int, scale: float) -> jnp.ndarray:
+    start = feat_dim // (delta_order + 1)
+    s = jnp.ones((feat_dim,), jnp.float32)
+    return s.at[start:].set(jnp.sqrt(scale))
+
+
+def streaming_step_fns(
+    model,
+    model_cfg: Dict[str, Any],
+    metrics_cfg: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    mask_self_motion_input: bool,
+):
+    """(train_step, eval_step) for LSTMwithSample / Metaformer.
+
+    Batch layout: the 7-tuple of (data, lengths) pairs from pad_collate.
+    """
+    lossfun = build_loss(model_cfg)
+    target_dict = gen_target_dict(
+        metrics_cfg["use_centroid"],
+        metrics_cfg["use_angle"],
+        metrics_cfg["delta_order"],
+    )
+    delta_order = metrics_cfg["delta_order"]
+    dls = model_cfg.get("delta_loss_scale", 1.0)
+
+    def forward_loss(params, batch, deterministic, rng):
+        data = [b[0] for b in batch]
+        a_p, m_p, m_s, la, lmp, lms, target = data
+        lead_len = lmp.shape[1]
+        if mask_self_motion_input:
+            m_s = m_s * (m_s != PADDING_VALUE)
+        kwargs = {} if deterministic else {"rngs": {"dropout": rng}}
+        y, _ = model.apply(
+            params, a_p, m_p, m_s, la, lmp, lms,
+            deterministic=deterministic, **kwargs,
+        )
+        y = y[:, lead_len:]
+        mask = (target != PADDING_VALUE).astype(y.dtype)
+        y = y * mask
+        t = target * mask
+        scaler = delta_scaler(y.shape[-1], delta_order, dls)
+        loss = lossfun(y * scaler, t * scaler)
+        return loss, (y * scaler, t * scaler)
+
+    def train_step(params, opt_state, batch, rng):
+        (loss, (y, t)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+            params, batch, False, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, per_slice_sq_err(y, t, target_dict)
+
+    def eval_step(params, batch):
+        data = [b[0] for b in batch]
+        a_p, m_p, m_s, la, lmp, lms, target = data
+        lead_len = lmp.shape[1]
+        if mask_self_motion_input:
+            m_s = m_s * (m_s != PADDING_VALUE)
+        y, _ = model.apply(params, a_p, m_p, m_s, la, lmp, lms)
+        y = y[:, lead_len:]
+        mask = (target != PADDING_VALUE).astype(y.dtype)
+        y = y * mask
+        t = target * mask
+        loss = lossfun(y, t)
+        return loss, per_slice_sq_err(y, t, target_dict)
+
+    return train_step, eval_step
+
+
+def windowed_step_fns(
+    model,
+    model_cfg: Dict[str, Any],
+    metrics_cfg: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+):
+    """(train_step, eval_step) for SimpleLSTM (fixed-shape windows)."""
+    from multimodalreactiongeneration_tpu.models.simple_lstm import (
+        simple_lstm_loss,
+    )
+
+    target_dict = gen_target_dict(
+        metrics_cfg["use_centroid"],
+        metrics_cfg["use_angle"],
+        metrics_cfg["delta_order"],
+    )
+
+    def forward_loss(params, batch, deterministic, rng):
+        fbank, motion, target = batch
+        kwargs = {} if deterministic else {"rngs": {"dropout": rng}}
+        y = model.apply(
+            params, fbank, motion, deterministic=deterministic, **kwargs
+        )
+        loss, y = simple_lstm_loss(y, target, motion, model_cfg, metrics_cfg)
+        return loss, (y, target)
+
+    def train_step(params, opt_state, batch, rng):
+        (loss, (y, t)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+            params, batch, False, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, per_slice_sq_err(y, t, target_dict)
+
+    def eval_step(params, batch):
+        fbank, motion, target = batch
+        y = model.apply(params, fbank, motion)
+        from multimodalreactiongeneration_tpu.models.simple_lstm import (
+            mse_loss,
+            split_and_form,
+        )
+
+        if model_cfg.get("all_static", False):
+            base = (
+                int(metrics_cfg["use_centroid"]) + int(metrics_cfg["use_angle"])
+            ) * 3
+            y = split_and_form(motion, y, metrics_cfg["delta_order"], base)
+        loss = mse_loss(y, target)
+        return loss, per_slice_sq_err(y, target, target_dict)
+
+    return train_step, eval_step
+
+
+@dataclass
+class FitResult:
+    epochs_run: int = 0
+    best_val_loss: float = float("inf")
+    history: List[Dict[str, float]] = field(default_factory=list)
+    ckpt_dir: Optional[str] = None
+
+
+class Trainer:
+    """fit() with mesh data-parallel steps, ckpt/early-stop callbacks."""
+
+    def __init__(
+        self,
+        model,
+        train_step,
+        eval_step,
+        optimizer,
+        optim_cfg,
+        callbacks_cfg=None,
+        log_dir: str = "log",
+        ckpt_dir: Optional[str] = None,
+        mesh=None,
+        generation_eval: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.optim_cfg = optim_cfg
+        self.callbacks = callbacks_cfg or {}
+        self.log_dir = log_dir
+        self.ckpt_dir = ckpt_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.generation_eval = generation_eval
+        self.seed = seed
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        # shardings flow from operand placement: params/opt_state replicated,
+        # batch split on 'data' — XLA inserts the gradient all-reduce.
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step) if eval_step is not None else None
+        self._bsh = bsh
+        self._rep = rep
+
+        os.makedirs(log_dir, exist_ok=True)
+        self._metrics_path = os.path.join(log_dir, "metrics.jsonl")
+
+    def _stage(self, batch):
+        """Host batch -> device, sharded on 'data'. Rows pad to the mesh
+        size with the -100 sentinel (masked out of the loss numerator;
+        the full-tensor-mean denominator grows, same as reference padding)."""
+        n = self.mesh.devices.size
+
+        def put(x):
+            x = np.asarray(x)
+            rem = (-x.shape[0]) % n
+            if rem:
+                fill = np.full((rem,) + x.shape[1:], PADDING_VALUE, x.dtype)
+                x = np.concatenate([x, fill], axis=0)
+            return jax.device_put(x, self._bsh)
+
+        return jax.tree_util.tree_map(put, batch)
+
+    def _log(self, record: Dict[str, Any]):
+        with open(self._metrics_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def fit(
+        self,
+        params,
+        train_loader,
+        val_loader,
+        max_epochs: int,
+    ) -> Tuple[Any, FitResult]:
+        params = jax.device_put(params, self._rep)
+        opt_state = jax.jit(self.optimizer.init)(params)
+        lr_sched = (
+            cosine_annealing(self.optim_cfg.lr, self.optim_cfg.max_epochs)
+            if self.optim_cfg.use_lr_sched
+            else None
+        )
+        patience = self.callbacks.get("patience_epoch", max_epochs)
+        use_early = self.callbacks.get("use_early_stopping", False)
+        top_k = self.callbacks.get("save_top_k", 1)
+        use_ckpt = self.callbacks.get("use_checkpoint", True) and self.ckpt_dir
+
+        result = FitResult(ckpt_dir=self.ckpt_dir)
+        saver = (
+            ckpt_lib.TopKCheckpointer(self.ckpt_dir, top_k=top_k)
+            if use_ckpt
+            else None
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        bad_epochs = 0
+        step = 0
+
+        for epoch in range(max_epochs):
+            if lr_sched is not None:
+                opt_state = set_learning_rate(opt_state, float(lr_sched(epoch)))
+            train_metrics = MetricAccumulator("train_")
+            t0 = time.time()
+            train_losses = []
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                staged = self._stage(batch)
+                params, opt_state, loss, slices = self._train_step(
+                    params, opt_state, staged, sub
+                )
+                train_losses.append(loss)
+                train_metrics.update(
+                    jax.tree_util.tree_map(np.asarray, slices)
+                )
+                step += 1
+            train_loss = float(np.mean([float(l) for l in train_losses]))
+
+            val_metrics = MetricAccumulator("valid_")
+            val_losses = []
+            for batch in val_loader:
+                loss, slices = self._eval_step(params, self._stage(batch))
+                val_losses.append(float(loss))
+                val_metrics.update(jax.tree_util.tree_map(np.asarray, slices))
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+
+            record = {
+                "epoch": epoch,
+                "step": step,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": float(lr_sched(epoch)) if lr_sched else self.optim_cfg.lr,
+                "epoch_seconds": time.time() - t0,
+                **train_metrics.compute(),
+                **val_metrics.compute(),
+            }
+            if self.generation_eval is not None:
+                record["genrt_loss"] = float(
+                    self.generation_eval(params, val_loader)
+                )
+            self._log(record)
+            result.history.append(record)
+            result.epochs_run = epoch + 1
+
+            if saver is not None:
+                saver.maybe_save(params, opt_state, epoch, val_loss)
+            if val_loss < result.best_val_loss:
+                result.best_val_loss = val_loss
+                bad_epochs = 0
+            else:
+                bad_epochs += 1
+                if use_early and bad_epochs > patience:
+                    break
+        if saver is not None:
+            saver.save_last(params, opt_state, result.epochs_run - 1)
+        return params, result

@@ -1,0 +1,115 @@
+"""Synthetic dyadic corpus generator for end-to-end pipeline tests.
+
+Creates the directory layout the reference's databuild walks
+(databuild_nx.py:159-191): session dirs containing host/comp wavs and
+host/comp motion .npz files with angle/centroid/means/stds/section keys
+(the extract_angle_cent output format, data/extract_angle_cent.py:131-161).
+
+Speech pattern: alternating host/comp noise bursts (log frame power well
+above the -4 VAD threshold), silence elsewhere, so turn segmentation finds
+clean alternating turns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from multimodalreactiongeneration_tpu.utils.wavio import write_wav
+
+SR = 16000
+FPS = 25
+
+
+def _burst_wave(seconds: float, bursts, rng) -> np.ndarray:
+    wave = np.zeros(int(seconds * SR), np.float32)
+    for start, end in bursts:
+        s, e = int(start * SR), int(end * SR)
+        wave[s:e] = 0.3 * rng.standard_normal(e - s).astype(np.float32)
+    return wave
+
+
+def _motion_npz(path: str, num_frames: int, rng, start: int = 0):
+    steps = rng.normal(0, 0.8, size=(num_frames, 6)).astype(np.float64)
+    traj = np.cumsum(steps, axis=0) * 0.05
+    angle_raw = traj[:, :3] * 5.0
+    cent_raw = 0.5 + traj[:, 3:] * 0.01
+    angle_mean, angle_std = angle_raw.mean(0), angle_raw.std(0) + 1e-6
+    cent_mean, cent_std = cent_raw.mean(0), cent_raw.std(0) + 1e-6
+    np.savez(
+        path,
+        angle=(angle_raw - angle_mean) / angle_std,
+        centroid=(cent_raw - cent_mean) / cent_std,
+        angle_mean=angle_mean,
+        angle_std=angle_std,
+        centroid_mean=cent_mean,
+        centroid_std=cent_std,
+        section=np.array([start, start + num_frames]),
+    )
+
+
+def make_synthetic_corpus(root: str, n_sessions: int = 1, seconds: float = 60.0):
+    """Returns corpus root. Host talks on even slots, comp on odd ones."""
+    rng = np.random.default_rng(42)
+    for s in range(n_sessions):
+        session = os.path.join(root, f"session{s:02d}", f"data{s:02d}")
+        os.makedirs(session, exist_ok=True)
+
+        host_bursts, comp_bursts = [], []
+        t = 1.0
+        who = 0
+        while t + 9.0 < seconds:
+            burst = (t, t + 7.0)
+            (host_bursts if who == 0 else comp_bursts).append(burst)
+            t += 10.0  # 3 s gap > pause_without_voice
+            who ^= 1
+
+        write_wav(
+            os.path.join(session, "host.wav"),
+            _burst_wave(seconds, host_bursts, rng)[None],
+            SR,
+        )
+        write_wav(
+            os.path.join(session, "comp.wav"),
+            _burst_wave(seconds, comp_bursts, rng)[None],
+            SR,
+        )
+        frames = int(seconds * FPS)
+        _motion_npz(os.path.join(session, "host_000000.npz"), frames, rng)
+        _motion_npz(os.path.join(session, "comp_000000.npz"), frames, rng)
+    return root
+
+
+DATA_CFG = dict(
+    no_cache_build=False,
+    clear_cache=False,
+    fps=25,
+    pred_fps=12.5,
+    pred_shift=2,
+    max_len=150,
+    min_len=50,
+    shift_len=150,
+    leading_len=24,
+    sample_rate=16000,
+    nfft=400,
+    shift=160,
+    threshold=-4,
+    minimum_utterance_length=1.0,
+    pause_with_voice=1.0,
+    pause_without_voice=2.0,
+    mergin=1.0,
+    use_partner_motion=True,
+    use_partner_audio=True,
+    use_self_motion=True,
+    use_self_audio=False,
+    target_shift=1,
+    use_centroid=True,
+    use_angle=True,
+    delta_order=2,
+)
+
+MOTION_CFG = dict(
+    delta_order=2, use_centroid=True, use_angle=True, train_by_std=True
+)
+AUDIO_CFG = dict(sample_rate=16000, nfft=400, shift=160, nmels=26, delta_order=2)

@@ -1,0 +1,123 @@
+"""Training harness: loss goes down on synthetic data; 8-device mesh works."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimodalreactiongeneration_tpu.data.databuild_nx import DataBuilderNX
+from multimodalreactiongeneration_tpu.data.dataset import (
+    BatchLoader,
+    SegmentDatasetNX,
+    random_split_indices,
+)
+from multimodalreactiongeneration_tpu.models.lstm_with_sampling import LSTMwithSample
+from multimodalreactiongeneration_tpu.parallel.mesh import make_mesh
+from multimodalreactiongeneration_tpu.train.harness import (
+    Trainer,
+    streaming_step_fns,
+)
+from multimodalreactiongeneration_tpu.train.optim import build_optimizer
+from multimodalreactiongeneration_tpu.utils.config import from_dict
+from tests.fixtures import AUDIO_CFG, DATA_CFG, MOTION_CFG, make_synthetic_corpus
+from tests.test_streaming_models import LWS_CFG
+
+OPTIM = from_dict(
+    dict(
+        use_optimizer="adam",
+        momentum=0.9,
+        weight_decay=1e-2,
+        lr=1e-3,
+        use_lr_sched=True,
+        batch_size=2,
+        max_epochs=4,
+    )
+)
+
+LWS_MODEL_CFG = dict(LWS_CFG, loss_type="huber", loss_reduction="mean",
+                     huber_delta=1.0, delta_loss_scale=1.0)
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus2")
+    corpus = make_synthetic_corpus(str(root), n_sessions=2, seconds=90.0)
+    cache = tmp_path_factory.mktemp("cache2")
+    builder = DataBuilderNX(dict(DATA_CFG, data_dir=corpus), cache_root=str(cache))
+    ds = SegmentDatasetNX(builder.data_site, MOTION_CFG, AUDIO_CFG)
+    n = len(ds)
+    tr, va, _ = random_split_indices(n, 0.5, 0.25, seed=0)
+    mk = lambda idx: BatchLoader(ds, idx, batch_size=2, seed=0)
+    return mk(tr), mk(va), ds
+
+
+def test_fit_reduces_loss(loaders, tmp_path):
+    train_loader, val_loader, _ = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+
+    optimizer = build_optimizer(OPTIM)
+    train_step, eval_step = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    trainer = Trainer(
+        model,
+        train_step,
+        eval_step,
+        optimizer,
+        OPTIM,
+        callbacks_cfg=dict(save_top_k=2, use_checkpoint=True,
+                           use_early_stopping=False, patience_epoch=10),
+        log_dir=str(tmp_path / "log"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    params, result = trainer.fit(params, train_loader, val_loader, max_epochs=3)
+    assert result.epochs_run == 3
+    losses = [h["train_loss"] for h in result.history]
+    assert losses[-1] < losses[0]  # learning something
+    assert np.isfinite(result.best_val_loss)
+    # checkpoints exist: top-k + last
+    import os
+
+    entries = os.listdir(tmp_path / "ckpt")
+    assert "last" in entries and any(e.startswith("V") for e in entries)
+    # metrics logged with per-slice MSE keys
+    assert "train_angle" in result.history[0]
+    assert "valid_delta2-centroid" in result.history[0]
+
+
+def test_multi_device_mesh_train_step(loaders):
+    train_loader, _, _ = loaders
+    mesh = make_mesh()  # 8 virtual CPU devices from conftest
+    assert mesh.devices.size == 8
+
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    # batch of 8 so it splits evenly over the mesh
+    samples = []
+    for batch in train_loader:
+        pass
+    loader8 = BatchLoader(
+        train_loader.dataset, np.arange(len(train_loader.dataset)),
+        batch_size=8, seed=0,
+    )
+    batch = next(iter(loader8))
+    if batch[0][0].shape[0] < 8:
+        pytest.skip("not enough segments for an 8-row batch")
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    train_step, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    trainer = Trainer(
+        model, train_step, None, optimizer, OPTIM, mesh=mesh, log_dir="/tmp/mlog"
+    )
+    staged = trainer._stage(batch)
+    # batch rows sharded over 'data'
+    assert len(staged[0][0].sharding.device_set) == 8
+    opt_state = jax.jit(optimizer.init)(params)
+    p2, _, loss, _ = trainer._train_step(
+        params, opt_state, staged, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
