@@ -1,0 +1,151 @@
+"""Headline benchmark: autoregressive head-motion decode, frames/sec/chip.
+
+Measures the BASELINE.md target metric — batched multi-dialog AR decode
+with the flagship Metaformer at the reference's production size
+(hidden 256, 5 blocks, lstm embeddings; lstmformer/config.yaml:5,38) over
+20-second dialog windows (250 motion frames @ 12.5 fps, the max_len
+config, config.yaml:203).
+
+``vs_baseline`` is the speedup over the reference's *execution model* —
+an eager per-timestep Python loop dispatching the full model each step
+(head_motion_generation, lstmformer.py:466-496) — run on the SAME chip
+with the same weights, isolating the framework design (single fused
+lax.scan + KV ring buffers) from the hardware. The reference itself
+publishes no numbers (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from multimodalreactiongeneration_tpu.infer.generate import (
+    _form_steps,
+    _init_metaformer_states,
+    generate_metaformer,
+    sampling_mask_for,
+)
+from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+
+BENCH_CFG = dict(
+    main_modal_idx=2,
+    hidden_size=256,
+    num_block=5,
+    dropout=0.0,
+    num_layerd=1,
+    encoder_num_layer=5,
+    num_internal_layer=1,
+    residual=True,
+    residual_layer_norm=True,
+    bias=True,
+    emb_mixers=["lstm", "lstm", "lstm"],
+    bottleneck_size=64,
+    nonlinearity="none",
+    ffn_nonlinearity="relu",
+    proj_size=0,
+    num_heads=4,
+    add_bias_kv=False,
+    add_zero_attn=False,
+    max_context_len=10,
+    repeat_with_encoder=False,
+    interlayer_residual=False,
+    interlayer_residual_norm=True,
+    sampling_rate=16000,
+    shift=160,
+    pred_fps=12.5,
+    modalities=["audio", "motion", "motion"],
+    use_centroid=True,
+    use_angle=True,
+    nmels=26,
+    delta_order=2,
+)
+
+BATCH = 8  # batched multi-dialog decode (BASELINE config #3)
+FRAMES = 250  # 20 s @ 12.5 fps (motion.max_len)
+LEAD = 12  # 24-frame leading warmup at pred_shift 2
+RATIO = 8
+
+
+def make_batch(key):
+    ks = jax.random.split(key, 7)
+    return (
+        jax.random.normal(ks[0], (BATCH, FRAMES * RATIO, 81)),
+        jax.random.normal(ks[1], (BATCH, FRAMES, 18)),
+        jax.random.normal(ks[2], (BATCH, FRAMES, 18)),
+        jax.random.normal(ks[3], (BATCH, LEAD * RATIO, 81)),
+        jax.random.normal(ks[4], (BATCH, LEAD, 18)),
+        jax.random.normal(ks[5], (BATCH, LEAD, 18)),
+        jax.random.normal(ks[6], (BATCH, FRAMES, 18)),
+    )
+
+
+def time_fn(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def eager_loop_decode(model, params, batch_data):
+    """The reference's execution model: per-step Python loop, jitted step
+    (still generous to the baseline — the reference is eager torch)."""
+    fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = batch_data
+    fb, mp, ms = _form_steps(fbank, motion_p, motion_s, RATIO)
+    states = _init_metaformer_states(model.cfg, BATCH)
+    warm = jax.jit(
+        lambda p, a, b, c, st: model.apply(p, a, b, c, states=st, use_masks=True)
+    )
+    _, states = warm(params, lead_a, lead_mp, lead_ms, states)
+    step = jax.jit(
+        lambda p, a, b, c, st: model.apply(p, a, b, c, states=st, use_masks=False)
+    )
+    prev = ms[0]
+    ys = []
+    for t in range(FRAMES):
+        y, states = step(params, fb[t], mp[t], prev, states)
+        prev = y
+        ys.append(y)
+    return ys[-1]
+
+
+def main():
+    model = Metaformer(cfg=BENCH_CFG)
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
+    mask = sampling_mask_for(FRAMES, "full")
+
+    decode = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
+    dt_scan = time_fn(decode, params, batch)
+    fps_chip = BATCH * FRAMES / dt_scan
+
+    # reference execution model on the same chip (fewer iters: it's slow)
+    t0 = time.perf_counter()
+    jax.block_until_ready(eager_loop_decode(model, params, batch))
+    # second run: everything compiled, measures steady-state loop dispatch
+    t0 = time.perf_counter()
+    jax.block_until_ready(eager_loop_decode(model, params, batch))
+    dt_loop = time.perf_counter() - t0
+    fps_loop = BATCH * FRAMES / dt_loop
+
+    print(
+        json.dumps(
+            {
+                "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
+                "value": round(fps_chip, 2),
+                "unit": "frames/s/chip (batch 8 x 250 frames, metaformer-256x5)",
+                "vs_baseline": round(fps_chip / fps_loop, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,18 +39,28 @@ def cache_init(
 
 
 def cache_extend(
-    cache: KVCache, key: jnp.ndarray, value: jnp.ndarray
+    cache: KVCache,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    chunk_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Append (B, n, D) new keys/values; return (cache', k, v, mask).
 
-    The returned k/v are the full (B, C, D) buffers and ``mask`` is a
-    (1, C) bool attention mask (True = masked) hiding never-written slots.
-    Slot order is rotation-invariant for attention (softmax is permutation
-    equivariant over keys), so no unrolling gather is needed.
+    The returned k/v are the full (B, C, D) buffers and ``mask`` is a bool
+    attention mask (True = masked) over slots. Slot order is
+    rotation-invariant for attention (softmax is permutation equivariant
+    over keys), so no unrolling gather is needed.
 
-    Decode steps are causally after everything cached, and within-step new
-    keys are all causally visible to the step's queries (rectangular rule
-    with q_len=1: nothing masked), so validity is the only mask needed.
+    Without ``chunk_mask``: never-written slots are masked, everything
+    else visible — correct for decode steps, whose queries are causally
+    after all cached tokens and may see the whole within-step chunk
+    (rectangular rule with q_len=1 masks nothing).
+
+    With ``chunk_mask`` ((..., Lq, n) bool): used when PRIMING the cache
+    with a multi-token chunk whose queries need intra-chunk causality
+    (e.g. the leading warmup segment). The chunk mask is scattered onto
+    the just-written slots; previously cached tokens stay visible (they
+    precede every current query); unwritten slots stay masked.
     """
     n = key.shape[1]
     capacity = cache["k"].shape[1]
@@ -60,6 +70,12 @@ def cache_extend(
     new_v = cache["v"].at[:, pos].set(value)
     new_len = length + n
     valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(new_len, capacity)
-    mask = ~valid[None, :]
+    if chunk_mask is None:
+        mask = ~valid[None, :]
+    else:
+        base = jnp.broadcast_to(
+            ~valid, chunk_mask.shape[:-1] + (capacity,)
+        )
+        mask = base.at[..., pos].set(chunk_mask)
     new_cache = {"k": new_k, "v": new_v, "length": new_len}
     return new_cache, new_k, new_v, mask

@@ -1,0 +1,203 @@
+"""Autoregressive head-motion generation as one compiled lax.scan.
+
+Re-design of the reference's AR decode (the headline benchmark,
+BASELINE.md): head_motion_generation runs a per-timestep Python loop
+calling the full model each step (lstm_with_sample.py:379-433,
+lstmformer.py:466-521), timed into speed.log
+(visualize_metaformer.py:116-127). Here the whole rollout —
+warmup on the leading segment, per-step forward, scheduled-sampling
+teacher forcing, state/KV-cache threading — is a single jitted
+lax.scan: one XLA program, zero per-step Python dispatch.
+
+Step semantics (bit-matched to the reference loop):
+  * formed inputs: per step t, ``ratio`` audio frames, 1 partner-motion
+    frame, and the *previous* self-motion frame (initially motion_s[0])
+    (form_generation_init, lstm_with_sample.py:435-451)
+  * prediction[t] = model(inputs_t, prev); next prev = prediction[t] if
+    sampling_mask[t] else motion_s[t] (head_motion_generation :399-404)
+  * sampling_mask: all-True = full generation; all-False = teacher
+    forcing; Bernoulli(epoch/max_epochs) = scheduled sampling (:388-394)
+  * -100 padded inputs are zeroed before the rollout
+    (form_generation_init, lstmformer.py:539-545)
+
+Documented deviation: the reference never actually carries the layered
+LSTM state across steps (its LSTMLayerd returns the input states,
+lstm_block.py:164-169) and its metaformer decode would shape-error on the
+KV path; we thread all states correctly. ``carry_layerd_state=False``
+reproduces the reference's effective lstm_with_sampling behavior
+(sampler state carried, layered LSTM state not).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodalreactiongeneration_tpu.infer.cache import cache_init
+from multimodalreactiongeneration_tpu.models.lstm_with_sampling import (
+    derived_sizes as lws_sizes,
+)
+from multimodalreactiongeneration_tpu.models.lstmformer import (
+    context_budgets,
+    derived_sizes as mf_sizes,
+)
+
+PADDING_VALUE = -100.0
+
+
+def _zero_padding(x: jnp.ndarray) -> jnp.ndarray:
+    return x * (x != PADDING_VALUE)
+
+
+def _form_steps(fbank, motion_p, motion_s, ratio: int):
+    """(B, L*r, F), (B, L, D), (B, L, D) -> per-step scan inputs
+    (L, B, r, F), (L, B, 1, D), (L, B, 1, D)  (reference :435-451)."""
+    b, lr, f = fbank.shape
+    l = motion_p.shape[1]
+    fb = fbank.reshape(b, l, ratio, f).transpose(1, 0, 2, 3)
+    mp = motion_p.transpose(1, 0, 2)[:, :, None, :]
+    ms = motion_s.transpose(1, 0, 2)[:, :, None, :]
+    return fb, mp, ms
+
+
+def sampling_mask_for(
+    length: int,
+    mode: str,
+    key: Optional[jax.Array] = None,
+    rate: float = 0.0,
+) -> jnp.ndarray:
+    """"full" (all model), "teacher" (all ground truth), "scheduled"."""
+    if mode == "full":
+        return jnp.ones((length,), bool)
+    if mode == "teacher":
+        return jnp.zeros((length,), bool)
+    if mode == "scheduled":
+        if key is None:
+            raise ValueError("scheduled sampling needs a PRNG key")
+        return jax.random.uniform(key, (length,)) < rate
+    raise ValueError(f"unknown sampling mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# LSTMwithSample
+# ---------------------------------------------------------------------------
+
+
+def generate_lws(
+    model,
+    params,
+    batch_data: Tuple[jnp.ndarray, ...],
+    sampling_mask: jnp.ndarray,
+    carry_layerd_state: bool = True,
+) -> jnp.ndarray:
+    """Rollout for LSTMwithSample. batch_data = 7-tuple of padded arrays
+    (fbank_p, motion_p, motion_s, lead_fbank, lead_mp, lead_ms, target).
+    Returns prediction (B, L, D) aligned with target."""
+    fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = [
+        _zero_padding(x) for x in batch_data
+    ]
+    ratio = lws_sizes(model.cfg)["ratio"]
+    fb, mp, ms = _form_steps(fbank, motion_p, motion_s, ratio)
+
+    # warmup on the leading segment (reference warmup_model :374-377)
+    _, state = model.apply(params, lead_a, lead_mp, lead_ms)
+    if not carry_layerd_state:
+        state = (state[0], None)
+
+    def step(carry, xs):
+        prev, st = carry
+        fb_t, mp_t, ms_t, mask_t = xs
+        y, new_st = model.apply(
+            params, fb_t, mp_t, prev, None, None, None, st
+        )
+        if not carry_layerd_state:
+            new_st = (new_st[0], None)
+        nxt = jnp.where(mask_t, y, ms_t)
+        return (nxt, new_st), y
+
+    init = (ms[0], state)
+    (_, _), ys = jax.lax.scan(step, init, (fb, mp, ms, sampling_mask))
+    # ys: (L, B, 1, D) -> (B, L, D)
+    return ys[:, :, 0, :].transpose(1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Metaformer
+# ---------------------------------------------------------------------------
+
+
+def _init_metaformer_states(model_cfg: dict, batch: int) -> List[dict]:
+    """Decode states: crm KV ring buffers sized by the per-modality
+    context budgets (lstmformer.py:98-110); emb states start None."""
+    budgets = context_budgets(model_cfg)
+    hidden = model_cfg["hidden_size"]
+    num_block = model_cfg["num_block"]
+    num_layerd = model_cfg["num_layerd"]
+    n_other = len(model_cfg["modalities"]) - 1
+    states = []
+    for b in range(num_block):
+        n_emb = len(model_cfg["modalities"]) if b == 0 or model_cfg[
+            "repeat_with_encoder"
+        ] else 1
+        states.append(
+            {
+                "emb": [None] * n_emb,
+                "crm": [
+                    [
+                        cache_init(batch, budgets[i], hidden)
+                        for _ in range(num_layerd)
+                    ]
+                    for i in range(n_other)
+                ],
+            }
+        )
+    return states
+
+
+def generate_metaformer(
+    model,
+    params,
+    batch_data: Tuple[jnp.ndarray, ...],
+    sampling_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rollout for the Metaformer with KV ring-buffer caches."""
+    fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = [
+        _zero_padding(x) for x in batch_data
+    ]
+    cfg = model.cfg
+    ratio = mf_sizes(cfg)["ratio"]
+    batch = fbank.shape[0]
+    fb, mp, ms = _form_steps(fbank, motion_p, motion_s, ratio)
+
+    # warmup: push the leading segment through with caches attached so
+    # lead K/V lands in the ring buffers and lstm emb states warm up.
+    # Masks stay ON: warmup block outputs feed deeper-block recurrent
+    # states, so intra-lead causality matters (the chunk masks are
+    # scattered onto the primed cache slots by cache_extend).
+    states = _init_metaformer_states(cfg, batch)
+    _, states = model.apply(
+        params, lead_a, lead_mp, lead_ms, states=states, use_masks=True
+    )
+
+    def step(carry, xs):
+        prev, st = carry
+        fb_t, mp_t, ms_t, mask_t = xs
+        y, new_st = model.apply(
+            params, fb_t, mp_t, prev, states=st, use_masks=False
+        )
+        nxt = jnp.where(mask_t, y, ms_t)
+        return (nxt, new_st), y
+
+    init = (ms[0], states)
+    (_, _), ys = jax.lax.scan(step, init, (fb, mp, ms, sampling_mask))
+    return ys[:, :, 0, :].transpose(1, 0, 2)
+
+
+def generation_loss(
+    prediction: jnp.ndarray, target: jnp.ndarray, lossfun
+) -> jnp.ndarray:
+    """genrt_loss with -100 masking (reference generation_step :410-424)."""
+    mask = (target != PADDING_VALUE).astype(prediction.dtype)
+    return lossfun(prediction * mask, target * mask)

@@ -186,7 +186,11 @@ class MHAMixerBlock(nn.Module):
         act = set_nonlinearity(self.nonlinearity)
         new_cache = cache
         if cache is not None:
-            new_cache, key, value, attn_mask = cache_extend(cache, key, value)
+            # attn_mask (if any) covers only the new chunk; cache_extend
+            # scatters it onto the written slots (priming path)
+            new_cache, key, value, attn_mask = cache_extend(
+                cache, key, value, chunk_mask=attn_mask
+            )
 
         y = query
         for i in range(self.num_layers):

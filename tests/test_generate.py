@@ -1,0 +1,124 @@
+"""AR generation engine: scan rollout equivalence against full forward.
+
+Teacher-forced stepwise decode must equal the full-sequence forward fed
+the one-step-shifted self-motion input ([ms0, ms0..ms_{L-2}]) — for the
+LSTM model exactly, for the metaformer because the KV caches reproduce
+the rectangular causal mask's visibility frontier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalreactiongeneration_tpu.infer.generate import (
+    generate_lws,
+    generate_metaformer,
+    generation_loss,
+    sampling_mask_for,
+)
+from multimodalreactiongeneration_tpu.models.lstm_with_sampling import LSTMwithSample
+from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+from multimodalreactiongeneration_tpu.train.losses import mse
+from tests.test_streaming_models import LWS_CFG, MF_CFG
+
+
+def _batch(key, T=6, lead=2, ratio=8, B=2):
+    ks = jax.random.split(key, 7)
+    return (
+        jax.random.normal(ks[0], (B, T * ratio, 81)),
+        jax.random.normal(ks[1], (B, T, 18)),
+        jax.random.normal(ks[2], (B, T, 18)),
+        jax.random.normal(ks[3], (B, lead * ratio, 81)),
+        jax.random.normal(ks[4], (B, lead, 18)),
+        jax.random.normal(ks[5], (B, T, 18)),  # placeholder sized like lead? no:
+    )
+
+
+def _full_batch(key, T=6, lead=2, ratio=8, B=2):
+    ks = jax.random.split(key, 7)
+    return (
+        jax.random.normal(ks[0], (B, T * ratio, 81)),
+        jax.random.normal(ks[1], (B, T, 18)),
+        jax.random.normal(ks[2], (B, T, 18)),
+        jax.random.normal(ks[3], (B, lead * ratio, 81)),
+        jax.random.normal(ks[4], (B, lead, 18)),
+        jax.random.normal(ks[5], (B, lead, 18)),
+        jax.random.normal(ks[6], (B, T, 18)),  # target
+    )
+
+
+def _shifted_ms(ms):
+    return jnp.concatenate([ms[:, :1], ms[:, :-1]], axis=1)
+
+
+def test_lws_teacher_decode_matches_shifted_forward():
+    model = LSTMwithSample(cfg=LWS_CFG)
+    batch = _full_batch(jax.random.PRNGKey(0))
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
+
+    mask = sampling_mask_for(6, "teacher")
+    pred = generate_lws(model, params, batch, mask)
+
+    y_full, _ = model.apply(
+        params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
+    )
+    y_full = y_full[:, 2:]  # slice off the lead
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(y_full), atol=1e-4)
+
+
+def test_lws_full_generation_feeds_back():
+    model = LSTMwithSample(cfg=LWS_CFG)
+    batch = _full_batch(jax.random.PRNGKey(2))
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), *batch[:6])
+    pred_full = generate_lws(model, params, batch, sampling_mask_for(6, "full"))
+    pred_teach = generate_lws(model, params, batch, sampling_mask_for(6, "teacher"))
+    assert pred_full.shape == (2, 6, 18)
+    # step 0 identical (same prev), later steps diverge via feedback
+    np.testing.assert_allclose(
+        np.asarray(pred_full[:, 0]), np.asarray(pred_teach[:, 0]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(pred_full[:, -1]), np.asarray(pred_teach[:, -1]))
+
+
+def test_lws_reference_effective_mode_differs():
+    model = LSTMwithSample(cfg=LWS_CFG)
+    batch = _full_batch(jax.random.PRNGKey(4))
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), *batch[:6])
+    mask = sampling_mask_for(6, "full")
+    a = generate_lws(model, params, batch, mask, carry_layerd_state=True)
+    b = generate_lws(model, params, batch, mask, carry_layerd_state=False)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_metaformer_teacher_decode_matches_shifted_forward():
+    cfg = dict(MF_CFG, max_context_len=100)  # budgets cover the whole clip
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(6))
+    params = jax.jit(model.init)(jax.random.PRNGKey(7), *batch[:6])
+
+    pred = generate_metaformer(
+        model, params, batch, sampling_mask_for(6, "teacher")
+    )
+    y_full, _ = model.apply(
+        params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
+    )
+    y_full = y_full[:, 2:]
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(y_full), atol=2e-4
+    )
+
+
+def test_metaformer_full_generation_runs_jitted():
+    model = Metaformer(cfg=MF_CFG)
+    batch = _full_batch(jax.random.PRNGKey(8))
+    params = jax.jit(model.init)(jax.random.PRNGKey(9), *batch[:6])
+    gen = jax.jit(
+        lambda p, b: generate_metaformer(
+            model, p, b, sampling_mask_for(6, "full")
+        )
+    )
+    pred = gen(params, batch)
+    assert pred.shape == (2, 6, 18)
+    assert np.isfinite(np.asarray(pred)).all()
+    loss = generation_loss(pred, batch[-1], mse)
+    assert np.isfinite(float(loss))
