@@ -1,0 +1,156 @@
+"""Training CLI: the reference's per-model trainer entry points.
+
+Usage (mirrors run/*/train.sh contracts, e.g. run/lstmformer/train.sh:1-9):
+
+    python -m multimodalreactiongeneration_tpu.train.cli \
+        --config configs/lstmformer.yaml \
+        name=exp-01 data_dir=/path/corpus ckpt_path=./ckpts log_dir=./log
+
+Replaces trainer.py x3 (Hydra main + WandbLogger + ModelCheckpoint +
+EarlyStopping, reference model/*/trainer.py) with one dispatcher keyed on
+exp.use_model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from multimodalreactiongeneration_tpu.models import build_model
+from multimodalreactiongeneration_tpu.train.harness import (
+    Trainer,
+    streaming_step_fns,
+    windowed_step_fns,
+)
+from multimodalreactiongeneration_tpu.train.optim import build_optimizer
+from multimodalreactiongeneration_tpu.utils.config import load_config
+from multimodalreactiongeneration_tpu.utils.logging import set_logger
+
+
+def make_streaming_loaders(cfg, logger):
+    from multimodalreactiongeneration_tpu.data.databuild_nx import DataBuilderNX
+    from multimodalreactiongeneration_tpu.data.dataset import (
+        BatchLoader,
+        SegmentDatasetNX,
+        random_split_indices,
+    )
+
+    builder = DataBuilderNX(cfg.data, logger)
+    dataset = SegmentDatasetNX(builder.data_site, cfg.motion, cfg.audio)
+    assert len(dataset) != 0, "dataset is empty"
+    tr, va, te = random_split_indices(
+        len(dataset), cfg.exp.train_rate, cfg.exp.valid_rate, seed=cfg.get("seed", 0)
+    )
+    logger.info(
+        f"train size: {len(tr)}, valid size: {len(va)}, test size: {len(te)}"
+    )
+    pad = cfg.trainer.get("pad_to_multiple", 16)
+    bs = cfg.exp.batch_size
+    mk = lambda idx, sh: BatchLoader(
+        dataset, idx, bs, pad_to_multiple=pad, shuffle=sh, seed=cfg.get("seed", 0)
+    )
+    return mk(tr, True), mk(va, False), mk(te, False), dataset
+
+
+def make_windowed_loaders(cfg, logger):
+    from multimodalreactiongeneration_tpu.data.databuild import DataBuilder
+    from multimodalreactiongeneration_tpu.data.dataset import (
+        WindowBatchLoader,
+        WindowDataset,
+        random_split_indices,
+    )
+
+    builder = DataBuilder(cfg.data, logger)
+    dataset = WindowDataset(builder.data_site, cfg.data, cfg.audio)
+    assert len(dataset) != 0, "dataset is empty"
+    tr, va, te = random_split_indices(
+        len(dataset), cfg.exp.train_rate, cfg.exp.valid_rate, seed=cfg.get("seed", 0)
+    )
+    logger.info(
+        f"train size: {len(tr)}, valid size: {len(va)}, test size: {len(te)}"
+    )
+    bs = cfg.exp.batch_size
+    mk = lambda idx, sh: WindowBatchLoader(
+        dataset, idx, bs, shuffle=sh, seed=cfg.get("seed", 0)
+    )
+    return mk(tr, True), mk(va, False), mk(te, False), dataset
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="YAML config path")
+    parser.add_argument(
+        "overrides", nargs="*", help="key=value dotted overrides"
+    )
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    logger = set_logger(cfg.exp.use_model, cfg.get("log_dir", "log"))
+    model_type = cfg.exp.use_model
+
+    model = build_model(model_type, cfg.model)
+    optimizer = build_optimizer(cfg.optim)
+
+    if model_type == "simple_lstm":
+        train_loader, val_loader, _, _ = make_windowed_loaders(cfg, logger)
+        train_step, eval_step = windowed_step_fns(
+            model, cfg.model.to_dict(), cfg.metrics.to_dict(), optimizer
+        )
+        init_batch = next(iter(train_loader))[:2]
+    else:
+        train_loader, val_loader, _, _ = make_streaming_loaders(cfg, logger)
+        train_step, eval_step = streaming_step_fns(
+            model,
+            cfg.model.to_dict(),
+            cfg.metrics.to_dict(),
+            optimizer,
+            mask_self_motion_input=(model_type == "lstmformer"),
+        )
+        batch = next(iter(train_loader))
+        init_batch = [b[0] for b in batch][:6]
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(cfg.get("seed", 0)), *init_batch
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info(f"model: {model_type}, parameters: {n_params:,}")
+
+    generation_eval = None
+    if model_type != "simple_lstm" and cfg.trainer.get(
+        "run_generation_eval", False
+    ):
+        from multimodalreactiongeneration_tpu.train.generation_eval import (
+            make_generation_eval,
+        )
+
+        generation_eval = make_generation_eval(
+            model, model_type, cfg.model.to_dict()
+        )
+
+    trainer = Trainer(
+        model,
+        train_step,
+        eval_step,
+        optimizer,
+        cfg.optim,
+        callbacks_cfg=cfg.callbacks.to_dict(),
+        log_dir=cfg.get("log_dir", "log"),
+        ckpt_dir=os.path.join(cfg.get("ckpt_path", "ckpts"), cfg.name),
+        generation_eval=generation_eval,
+        seed=cfg.get("seed", 0),
+    )
+    params, result = trainer.fit(
+        params, train_loader, val_loader, max_epochs=cfg.trainer.max_epochs
+    )
+    logger.info(
+        f"done: epochs={result.epochs_run} best_val={result.best_val_loss:.6f}"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

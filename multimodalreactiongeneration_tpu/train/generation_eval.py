@@ -1,0 +1,41 @@
+"""Validation-time generation evaluation (genrt_loss).
+
+Reference validation_step runs a full autoregressive generation pass and
+logs genrt_loss besides val_loss (lstmformer.py:387-424,
+lstm_with_sample.py:303-337). Here the rollout is the jitted scan engine;
+one compiled program per padded shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import numpy as np
+
+from multimodalreactiongeneration_tpu.infer.generate import (
+    generate_lws,
+    generate_metaformer,
+    generation_loss,
+    sampling_mask_for,
+)
+from multimodalreactiongeneration_tpu.train.losses import build_loss
+
+
+def make_generation_eval(model, model_type: str, model_cfg) -> Callable:
+    lossfun = build_loss(model_cfg)
+    gen = generate_lws if model_type == "lstm_with_sampling" else generate_metaformer
+
+    @jax.jit
+    def _one(params, data):
+        pred = gen(model, params, data, sampling_mask_for(data[1].shape[1], "full"))
+        return generation_loss(pred, data[-1], lossfun)
+
+    def generation_eval(params, val_loader) -> float:
+        losses = []
+        for batch in val_loader:
+            data = tuple(np.asarray(b[0]) for b in batch)
+            losses.append(float(_one(params, data)))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    return generation_eval

@@ -25,6 +25,26 @@ _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 MANDATORY = "???"
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader + exponent floats without a dot (``5e-6``, ``1E3``).
+
+    PyYAML follows YAML 1.1 and reads those as strings; OmegaConf (which
+    the reference configs were written for, e.g. ``lr: 5e-6``) reads them
+    as floats — match OmegaConf.
+    """
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"^[-+]?(\d+(\.\d*)?|\.\d+)[eE][-+]?\d+$"),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text: str) -> Any:
+    return yaml.load(text, Loader=_YamlLoader)
+
+
 class MandatoryValueError(KeyError):
     """A ``???`` field was accessed before being provided."""
 
@@ -166,7 +186,7 @@ def resolve(cfg: Config) -> Config:
 
 
 def _parse_override_value(text: str) -> Any:
-    return yaml.safe_load(text) if text != "" else ""
+    return _yaml_load(text) if text != "" else ""
 
 
 def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
@@ -188,7 +208,7 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
 def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:
     """Load a YAML config, apply CLI overrides, resolve interpolations."""
     with open(path, "r", encoding="utf-8") as f:
-        data = yaml.safe_load(f) or {}
+        data = _yaml_load(f.read()) or {}
     cfg = _wrap(data)
     if overrides:
         apply_overrides(cfg, overrides)

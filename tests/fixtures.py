@@ -81,6 +81,44 @@ def make_synthetic_corpus(root: str, n_sessions: int = 1, seconds: float = 60.0)
     return root
 
 
+def make_synthetic_corpus_v1(root: str, n_sessions: int = 1, seconds: float = 20.0):
+    """v1 layout: <session>/<who>.wav + <session>/<who>/ dir of per-frame
+    .head pickles (reference databuild.py:179-187, io.py:121-153)."""
+    from multimodalreactiongeneration_tpu.data.head_io import (
+        HeadFrame,
+        write_head_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = int(seconds * FPS)
+    for s in range(n_sessions):
+        session = os.path.join(root, f"session{s:02d}")
+        os.makedirs(session, exist_ok=True)
+        for who in ("host", "comp"):
+            wave = 0.2 * rng.standard_normal(int(seconds * SR)).astype(np.float32)
+            write_wav(os.path.join(session, f"{who}.wav"), wave[None], SR)
+            head_dir = os.path.join(session, who)
+            os.makedirs(head_dir, exist_ok=True)
+            traj = np.cumsum(rng.normal(0, 0.5, (frames, 6)), axis=0) * 0.05
+            ang_mean, ang_std = traj[:, :3].mean(0), traj[:, :3].std(0) + 1e-6
+            cen_mean, cen_std = traj[:, 3:].mean(0), traj[:, 3:].std(0) + 1e-6
+            for t in range(frames):
+                frame = HeadFrame(
+                    angle=traj[t, :3],
+                    centroid=traj[t, 3:],
+                    frame_no=t,
+                    fps=float(FPS),
+                    angle_mean=ang_mean,
+                    angle_std=ang_std,
+                    centroid_mean=cen_mean,
+                    centroid_std=cen_std,
+                )
+                write_head_frame(
+                    os.path.join(head_dir, f"{who}_{t:05d}.head"), t, frame
+                )
+    return root
+
+
 DATA_CFG = dict(
     no_cache_build=False,
     clear_cache=False,

@@ -1,0 +1,113 @@
+"""Full CLI training runs on synthetic corpora (all three model families)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodalreactiongeneration_tpu.train.cli import main
+from tests.fixtures import make_synthetic_corpus, make_synthetic_corpus_v1
+
+SMALL_STREAMING = [
+    "hidden_size=32",
+    "bottleneck_size=8",
+    "batch_size=2",
+    "max_epochs=1",
+    "optim_epochs=2",
+    "lr=1e-3",
+    "motion.max_len=150",
+    "motion.min_len=50",
+    "motion.shift_len=150",
+    "motion.leading_len=24",
+    "callbacks.save_top_k=1",
+    "exp.train_rate=0.5",
+    "exp.valid_rate=0.25",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_nx(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    return make_synthetic_corpus(str(root), n_sessions=1, seconds=60.0)
+
+
+def _run(config, corpus, tmp_path, extra):
+    cwd = os.getcwd()
+    workdir = tmp_path / "work"
+    workdir.mkdir()
+    os.chdir(workdir)  # databuild caches under ./data
+    try:
+        result = main(
+            [
+                "--config",
+                os.path.join(cwd, config),
+                f"data_dir={corpus}",
+                f"ckpt_path={tmp_path}/ckpts",
+                f"log_dir={tmp_path}/log",
+                "name=test",
+            ]
+            + extra
+        )
+    finally:
+        os.chdir(cwd)
+    return result
+
+
+def test_cli_lstm_with_sampling(corpus_nx, tmp_path):
+    result = _run(
+        "configs/lstm_with_sampling.yaml",
+        corpus_nx,
+        tmp_path,
+        SMALL_STREAMING
+        + ["model.sampler_hidden_size=16", "model.sampler_num_layers=1"],
+    )
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_val_loss)
+    assert "genrt_loss" in result.history[0]
+    assert os.path.isdir(f"{tmp_path}/ckpts/test")
+
+
+def test_cli_lstmformer(corpus_nx, tmp_path):
+    result = _run(
+        "configs/lstmformer.yaml",
+        corpus_nx,
+        tmp_path,
+        SMALL_STREAMING
+        + [
+            "model.num_block=2",
+            "model.encoder_num_layer=1",
+            "trainer.run_generation_eval=false",
+        ],
+    )
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_val_loss)
+
+
+def test_cli_simple_lstm(tmp_path_factory, tmp_path):
+    root = tmp_path_factory.mktemp("cli_corpus_v1")
+    corpus = make_synthetic_corpus_v1(str(root), n_sessions=1, seconds=12.0)
+    result = _run(
+        "configs/simple_lstm.yaml",
+        corpus,
+        tmp_path,
+        [
+            "hidden_size=32",
+            "lstm_size=16",
+            "bottleneck_size=8",
+            "batch_size=4",
+            "max_epochs=1",
+            "optim_epochs=2",
+            "lr=1e-3",
+            "data.sample_stride=8",
+            "model.att_heads=4",
+            "model.acostic_num_layers=1",
+            "model.motion_num_layers=1",
+            "model.decoder_num_layers=1",
+            "model.decoder_mapping_size=16",
+            "exp.train_rate=0.5",
+            "exp.valid_rate=0.25",
+            "callbacks.save_top_k=1",
+        ],
+    )
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_val_loss)
