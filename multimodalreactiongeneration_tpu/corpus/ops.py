@@ -1,0 +1,276 @@
+"""Corpus normalization CLI ops (reference data/ scripts, SURVEY.md §2.1).
+
+One module, one function per reference script:
+  * rename_sessions        == data/rename.py:26-109 (movie.mp4 / comp.wav /
+    host.wav / pair.wav normalization + participant.json bookkeeping)
+  * collect_participant_info == data/collect_participant_info.py:17-64
+  * make_stereo            == data/stereo_wav_maker.py:29-114 (interleave
+    comp/host mono into a stereo annotation wav, copy movie)
+  * check_audio            == utils/data_analysis/check_audio.py:113-153
+    (1ch / 16-bit / 16 kHz validation walk)
+  * extract_good_sessions  == utils/data_analysis/data_extractor.py:52-86
+  * anomaly_search         == data/anomaly_search.py:19-29 (count None
+    FaceMesh frames per head dir -> JSONL report)
+  * compute_head_statistics == utils/io.py:88-118 + utils/visualize/
+    calc_dataset_statistics.py:10-41 (corpus mean/std of angle/centroid)
+  * stamp_statistics       == scripts/patch/patch_for_statis.py (write the
+    corpus stats back into every .head frame)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from multimodalreactiongeneration_tpu.data.head_io import (
+    load_head_file,
+    write_head_frame,
+)
+from multimodalreactiongeneration_tpu.utils.wavio import (
+    read_wav,
+    wav_info,
+    write_wav,
+)
+
+
+def _ex_name(file: str) -> str:
+    person = file.rsplit(".", maxsplit=1)[0]
+    return "_".join(person.split("_", maxsplit=1)[1:])
+
+
+def rename_sessions(target: str) -> Dict[str, int]:
+    """Normalize raw session layouts; returns the participant table."""
+    person_info: Dict[str, int] = {}
+    rename_list: List[Tuple[str, str]] = []
+    for dirc in sorted(os.listdir(target)):
+        target_dirc = os.path.join(target, dirc)
+        if not os.path.isdir(target_dirc):
+            continue
+        session_info = {"host": None, "comp": None, "host_no": None, "comp_no": None}
+        for file in os.listdir(target_dirc):
+            src = os.path.join(target_dirc, file)
+            if file.startswith("movie"):
+                sub = "movie.mp4"
+            elif file.startswith("c-"):
+                sub = "comp.wav"
+                session_info["comp"] = _ex_name(file)
+            elif file.startswith("h-"):
+                sub = "host.wav"
+                session_info["host"] = _ex_name(file)
+            elif file.startswith("pair"):
+                sub = "pair.wav"
+            else:
+                continue
+            rename_list.append((src, os.path.join(target_dirc, sub)))
+
+        for who in ("host", "comp"):
+            name = session_info[who]
+            if person_info.get(name) is None:
+                person_info[name] = len(person_info)
+            session_info[f"{who}_no"] = person_info[name]
+        with open(
+            os.path.join(target_dirc, "participant.json"), "w", encoding="utf-8"
+        ) as f:
+            f.write(json.dumps(session_info, ensure_ascii=False))
+    with open(
+        os.path.join(target, "all_participant.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write(json.dumps(person_info, ensure_ascii=False))
+    for src, dst in rename_list:
+        os.rename(src, dst)
+    return person_info
+
+
+def collect_participant_info(target: str) -> Dict[str, Dict]:
+    """Aggregate participant appearance counts across sessions."""
+    table: Dict[str, Dict] = {}
+    for dirc in sorted(os.listdir(target)):
+        info_path = os.path.join(target, dirc, "participant.json")
+        if not os.path.isfile(info_path):
+            continue
+        with open(info_path, "r", encoding="utf-8") as f:
+            info = json.load(f)
+        for who in ("host", "comp"):
+            name = info.get(who)
+            if name is None:
+                continue
+            entry = table.setdefault(
+                name, {"no": info.get(f"{who}_no"), "host": 0, "comp": 0}
+            )
+            entry[who] += 1
+    out = os.path.join(target, "participant_summary.json")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write(json.dumps(table, ensure_ascii=False, indent=2))
+    return table
+
+
+def make_stereo(session_dir: str, output_dir: str) -> str:
+    """comp.wav + host.wav -> stereo pair_stereo.wav (+ movie copy)."""
+    os.makedirs(output_dir, exist_ok=True)
+    comp, sr_c = read_wav(os.path.join(session_dir, "comp.wav"))
+    host, sr_h = read_wav(os.path.join(session_dir, "host.wav"))
+    if sr_c != sr_h:
+        raise ValueError("comp/host sample rates differ")
+    n = min(comp.shape[1], host.shape[1])
+    stereo = np.stack([comp[0, :n], host[0, :n]], axis=0)
+    out = os.path.join(output_dir, "pair_stereo.wav")
+    write_wav(out, stereo, sr_c)
+    movie = os.path.join(session_dir, "movie.mp4")
+    if os.path.exists(movie):
+        shutil.copy(movie, os.path.join(output_dir, "movie.mp4"))
+    return out
+
+
+def check_audio(
+    root: str, sample_rate: int = 16000
+) -> Dict[str, List[str]]:
+    """Validate every wav: mono / 16-bit / expected rate."""
+    result = {"ok": [], "bad": []}
+    for dirpath, _, files in os.walk(root):
+        for name in files:
+            if not name.endswith(".wav"):
+                continue
+            path = os.path.join(dirpath, name)
+            try:
+                sr, _, nch = wav_info(path)
+                good = sr == sample_rate and nch == 1
+            except Exception:
+                good = False
+            result["ok" if good else "bad"].append(path)
+    return result
+
+
+def extract_good_sessions(
+    src_root: str, dst_root: str, sample_rate: int = 16000
+) -> List[str]:
+    """Copy corpus, dropping sessions with invalid audio."""
+    os.makedirs(dst_root, exist_ok=True)
+    kept = []
+    for session in sorted(os.listdir(src_root)):
+        sdir = os.path.join(src_root, session)
+        if not os.path.isdir(sdir):
+            continue
+        report = check_audio(sdir, sample_rate)
+        if report["bad"] or not report["ok"]:
+            continue
+        shutil.copytree(sdir, os.path.join(dst_root, session))
+        kept.append(session)
+    return kept
+
+
+def anomaly_search(root: str, result_path: str) -> None:
+    """Per head-dir undetected-frame report (JSONL)."""
+    if os.path.isfile(result_path):
+        os.remove(result_path)
+    with open(result_path, "a", encoding="utf-8") as out:
+        for dirpath, _, files in os.walk(root):
+            heads = sorted(f for f in files if f.endswith(".head"))
+            if not heads:
+                continue
+            jdic = {"path": dirpath, "count": 0, "anomaly": []}
+            for name in heads:
+                idx, frame = load_head_file(os.path.join(dirpath, name))
+                if frame is None:
+                    jdic["count"] += 1
+                    jdic["anomaly"].append(idx)
+            out.write(json.dumps(jdic, ensure_ascii=False) + "\n")
+
+
+def compute_head_statistics(head_dir: str):
+    """Mean/std of angle & centroid over detected frames (io.py:88-118)."""
+    angles, cents = [], []
+    for name in sorted(os.listdir(head_dir)):
+        if not name.endswith(".head"):
+            continue
+        _, frame = load_head_file(os.path.join(head_dir, name))
+        if frame is None:
+            continue
+        angles.append(frame.angle)
+        cents.append(frame.centroid)
+    if not angles:
+        raise ValueError(f"{head_dir}: no detected frames")
+    angles = np.stack(angles)
+    cents = np.stack(cents)
+    return (
+        angles.mean(0),
+        angles.std(0),
+        cents.mean(0),
+        cents.std(0),
+    )
+
+
+def stamp_statistics(head_dir: str) -> None:
+    """Write corpus stats back into every frame (patch_for_statis.py)."""
+    a_mean, a_std, c_mean, c_std = compute_head_statistics(head_dir)
+    for name in sorted(os.listdir(head_dir)):
+        if not name.endswith(".head"):
+            continue
+        path = os.path.join(head_dir, name)
+        idx, frame = load_head_file(path)
+        if frame is None:
+            continue
+        frame.angle_mean, frame.angle_std = a_mean, a_std
+        frame.centroid_mean, frame.centroid_std = c_mean, c_std
+        write_head_frame(path, idx, frame)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("rename")
+    p.add_argument("--target", required=True)
+    p = sub.add_parser("participants")
+    p.add_argument("--target", required=True)
+    p = sub.add_parser("stereo")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("check-audio")
+    p.add_argument("--target", required=True)
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p = sub.add_parser("extract")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("anomaly")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", default="anomaly_search_result.json")
+    p = sub.add_parser("statistics")
+    p.add_argument("--target", required=True)
+    p.add_argument("--stamp", action="store_true")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "rename":
+        rename_sessions(args.target)
+    elif args.cmd == "participants":
+        collect_participant_info(args.target)
+    elif args.cmd == "stereo":
+        for session in sorted(os.listdir(args.target)):
+            sdir = os.path.join(args.target, session)
+            if os.path.isdir(sdir):
+                make_stereo(sdir, os.path.join(args.output, session))
+    elif args.cmd == "check-audio":
+        report = check_audio(args.target, args.sample_rate)
+        print(json.dumps({k: len(v) for k, v in report.items()}))
+        for path in report["bad"]:
+            print("BAD:", path)
+    elif args.cmd == "extract":
+        kept = extract_good_sessions(args.target, args.output)
+        print(f"kept {len(kept)} sessions")
+    elif args.cmd == "anomaly":
+        anomaly_search(args.target, args.output)
+    elif args.cmd == "statistics":
+        for dirpath, dirs, files in os.walk(args.target):
+            if any(f.endswith(".head") for f in files):
+                stats = compute_head_statistics(dirpath)
+                print(dirpath, [np.round(s, 4).tolist() for s in stats])
+                if args.stamp:
+                    stamp_statistics(dirpath)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,18 @@ def main(argv=None):
             optimizer,
             mask_self_motion_input=(model_type == "lstmformer"),
         )
+        if cfg.model.get("use_scheduled_sampling", False):
+            from multimodalreactiongeneration_tpu.train.harness import (
+                scheduled_sampling_step_fn,
+            )
+
+            train_step = scheduled_sampling_step_fn(
+                model,
+                model_type,
+                cfg.model.to_dict(),
+                cfg.metrics.to_dict(),
+                optimizer,
+            )
         batch = next(iter(train_loader))
         init_batch = [b[0] for b in batch][:6]
 
@@ -141,6 +153,11 @@ def main(argv=None):
         log_dir=cfg.get("log_dir", "log"),
         ckpt_dir=os.path.join(cfg.get("ckpt_path", "ckpts"), cfg.name),
         generation_eval=generation_eval,
+        scheduled_max_epochs=(
+            cfg.model.max_epochs
+            if cfg.model.get("use_scheduled_sampling", False)
+            else None
+        ),
         seed=cfg.get("seed", 0),
     )
     params, result = trainer.fit(

@@ -126,6 +126,59 @@ def streaming_step_fns(
     return train_step, eval_step
 
 
+def scheduled_sampling_step_fn(
+    model,
+    model_type: str,
+    model_cfg: Dict[str, Any],
+    metrics_cfg: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+):
+    """train_step for use_scheduled_sampling=True (reference
+    lstm_with_sample.py:278-301 / lstmformer.py:357-385): training loss is
+    computed on the AR rollout where each step feeds back the model's own
+    prediction with probability rate = epoch/max_epochs. Gradients flow
+    through the whole lax.scan.
+
+    Signature: train_step(params, opt_state, batch, rng, rate).
+    """
+    from multimodalreactiongeneration_tpu.infer.generate import (
+        generate_lws,
+        generate_metaformer,
+    )
+
+    lossfun = build_loss(model_cfg)
+    target_dict = gen_target_dict(
+        metrics_cfg["use_centroid"],
+        metrics_cfg["use_angle"],
+        metrics_cfg["delta_order"],
+    )
+    delta_order = metrics_cfg["delta_order"]
+    dls = model_cfg.get("delta_loss_scale", 1.0)
+    gen = generate_lws if model_type == "lstm_with_sampling" else generate_metaformer
+
+    def forward_loss(params, batch, rng, rate):
+        data = tuple(b[0] for b in batch)
+        target = data[-1]
+        length = data[1].shape[1]
+        mask_steps = jax.random.uniform(rng, (length,)) < rate
+        y = gen(model, params, data, mask_steps)
+        mask = (target != PADDING_VALUE).astype(y.dtype)
+        y = y * mask
+        t = target * mask
+        scaler = delta_scaler(y.shape[-1], delta_order, dls)
+        return lossfun(y * scaler, t * scaler), (y * scaler, t * scaler)
+
+    def train_step(params, opt_state, batch, rng, rate):
+        (loss, (y, t)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+            params, batch, rng, rate
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, per_slice_sq_err(y, t, target_dict)
+
+    return train_step
+
+
 def windowed_step_fns(
     model,
     model_cfg: Dict[str, Any],
@@ -202,6 +255,7 @@ class Trainer:
         ckpt_dir: Optional[str] = None,
         mesh=None,
         generation_eval: Optional[Callable] = None,
+        scheduled_max_epochs: Optional[int] = None,
         seed: int = 0,
     ):
         self.model = model
@@ -212,6 +266,7 @@ class Trainer:
         self.ckpt_dir = ckpt_dir
         self.mesh = mesh if mesh is not None else make_mesh()
         self.generation_eval = generation_eval
+        self.scheduled_max_epochs = scheduled_max_epochs
         self.seed = seed
 
         rep = replicated(self.mesh)
@@ -285,9 +340,15 @@ class Trainer:
             for batch in train_loader:
                 rng, sub = jax.random.split(rng)
                 staged = self._stage(batch)
-                params, opt_state, loss, slices = self._train_step(
-                    params, opt_state, staged, sub
-                )
+                if self.scheduled_max_epochs:
+                    rate = jnp.float32(epoch / self.scheduled_max_epochs)
+                    params, opt_state, loss, slices = self._train_step(
+                        params, opt_state, staged, sub, rate
+                    )
+                else:
+                    params, opt_state, loss, slices = self._train_step(
+                        params, opt_state, staged, sub
+                    )
                 train_losses.append(loss)
                 train_metrics.update(
                     jax.tree_util.tree_map(np.asarray, slices)

@@ -111,3 +111,21 @@ def test_cli_simple_lstm(tmp_path_factory, tmp_path):
     )
     assert result.epochs_run == 1
     assert np.isfinite(result.best_val_loss)
+
+
+def test_cli_scheduled_sampling(corpus_nx, tmp_path):
+    result = _run(
+        "configs/lstm_with_sampling.yaml",
+        corpus_nx,
+        tmp_path,
+        SMALL_STREAMING
+        + [
+            "model.sampler_hidden_size=16",
+            "model.sampler_num_layers=1",
+            "model.use_scheduled_sampling=true",
+            "trainer.run_generation_eval=false",
+        ],
+    )
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_val_loss)
+    assert np.isfinite(result.history[0]["train_loss"])

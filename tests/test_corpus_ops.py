@@ -1,0 +1,167 @@
+"""Corpus ops: alignment recovers known shifts; extract_angle_cent;
+rename/check/anomaly/statistics round trips."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodalreactiongeneration_tpu.corpus import alignment, ops
+from multimodalreactiongeneration_tpu.corpus.extract_angle_cent import (
+    collect_angle_cent,
+    fix_data,
+)
+from multimodalreactiongeneration_tpu.data.head_io import (
+    HeadFrame,
+    write_head_frame,
+)
+from multimodalreactiongeneration_tpu.ops.xcorr import align_shift
+from multimodalreactiongeneration_tpu.utils.wavio import read_wav, write_wav
+
+SR = 16000
+
+
+def _noise_burst_wave(rng, seconds=8.0):
+    wave = np.zeros(int(seconds * SR), np.float32)
+    wave[SR : 3 * SR] = 0.4 * rng.standard_normal(2 * SR).astype(np.float32)
+    wave[5 * SR : 6 * SR] = 0.3 * rng.standard_normal(SR).astype(np.float32)
+    return wave
+
+
+def test_align_shift_recovers_known_lag():
+    rng = np.random.default_rng(0)
+    base = _noise_burst_wave(rng)
+    for true_shift in (0, 1234, -777, 16000):
+        if true_shift >= 0:
+            shifted = np.concatenate([np.zeros(true_shift, np.float32), base])
+        else:
+            shifted = base[-true_shift:]
+        est = align_shift(base, shifted, SR)
+        assert abs(est - true_shift) <= 1, (true_shift, est)
+
+
+def test_align_session_trims_to_common_span(tmp_path):
+    rng = np.random.default_rng(1)
+    comp = _noise_burst_wave(rng)
+    host = _noise_burst_wave(np.random.default_rng(2))
+    mix = (comp + host) * 0.5
+    session = tmp_path / "s0"
+    session.mkdir()
+    # comp delayed 0.2 s, host early 0.1 s relative to the mix
+    write_wav(str(session / "comp.wav"), np.concatenate([np.zeros(3200, np.float32), comp])[None], SR)
+    write_wav(str(session / "host.wav"), host[1600:][None], SR)
+    write_wav(str(session / "pair.wav"), mix[None], SR)
+
+    out = tmp_path / "aligned" / "s0"
+    shifts = alignment.align_session(str(session), str(out))
+    assert abs(shifts["comp"] - 3200) <= 1
+    assert abs(shifts["host"] + 1600) <= 1
+    c, _ = read_wav(str(out / "comp.wav"))
+    h, _ = read_wav(str(out / "host.wav"))
+    m, _ = read_wav(str(out / "pair.wav"))
+    assert c.shape == h.shape == m.shape
+    # aligned channels correlate at zero lag now
+    assert abs(align_shift(m[0], c[0], SR)) <= 1
+    # skip-if-populated resume
+    assert alignment.align_session(str(session), str(out)) is None
+
+
+def _head_dir(tmp_path, who="comp", frames=260, gap=(100, 105), long_gap=None):
+    rng = np.random.default_rng(3)
+    d = tmp_path / who
+    d.mkdir(parents=True, exist_ok=True)
+    traj = np.cumsum(rng.normal(size=(frames, 6)), axis=0)
+    missing = set(range(*gap))
+    if long_gap:
+        missing |= set(range(*long_gap))
+    for t in range(frames):
+        if t in missing:
+            write_head_frame(str(d / f"{who}_{t:05d}.head"), t, None)
+        else:
+            frame = HeadFrame(
+                angle=traj[t, :3],
+                centroid=traj[t, 3:],
+                frame_no=t,
+                fps=25.0,
+                angle_mean=np.zeros(3),
+                angle_std=np.ones(3),
+                centroid_mean=np.zeros(3),
+                centroid_std=np.ones(3),
+            )
+            write_head_frame(str(d / f"{who}_{t:05d}.head"), t, frame)
+    return d
+
+
+def test_extract_angle_cent_interpolates_and_splits(tmp_path):
+    session = tmp_path / "corpus" / "data00"
+    _head_dir(session, "comp", frames=400, gap=(100, 105), long_gap=(250, 280))
+    write_wav(str(session / "comp.wav"), np.zeros((1, SR), np.float32), SR)
+
+    out = tmp_path / "npz"
+    collect_angle_cent(str(tmp_path / "corpus"), str(out))
+    files = sorted(os.listdir(out / "data00"))
+    npz = [f for f in files if f.endswith(".npz")]
+    assert len(npz) == 2  # split at the 30-frame gap, short gap interpolated
+    with np.load(out / "data00" / npz[0]) as z:
+        sec = z["section"]
+        assert sec[0] == 0 and sec[1] == 250
+        assert np.isfinite(z["angle"]).all()
+        # interpolated frames lie between their endpoints
+        a99, a105 = z["angle"][99], z["angle"][105]
+        mid = z["angle"][102]
+        lo, hi = np.minimum(a99, a105), np.maximum(a99, a105)
+        assert ((mid >= lo - 1e-9) & (mid <= hi + 1e-9)).all()
+    assert "comp.wav" in files
+
+
+def test_fix_data_gap_at_start_not_interpolated():
+    angle = [None, None, np.ones(3), np.ones(3)]
+    cent = [None, None, np.ones(3), np.ones(3)]
+    out = fix_data({"angle": list(angle), "centroid": list(cent)})
+    assert out["angle"][0] is None and out["angle"][1] is None
+
+
+def test_rename_and_participants(tmp_path):
+    s0 = tmp_path / "d01"
+    s0.mkdir()
+    for name in ("movie_xxx.mp4", "c-01_alice.wav", "h-02_bob.wav", "pair_raw.wav"):
+        (s0 / name).write_bytes(b"x")
+    table = ops.rename_sessions(str(tmp_path))
+    assert set(os.listdir(s0)) == {
+        "movie.mp4", "comp.wav", "host.wav", "pair.wav", "participant.json",
+    }
+    info = json.loads((s0 / "participant.json").read_text())
+    assert info["comp"] == "alice" and info["host"] == "bob"
+    assert table == {"bob": 0, "alice": 1}
+    summary = ops.collect_participant_info(str(tmp_path))
+    assert summary["alice"]["comp"] == 1
+
+
+def test_check_audio_and_stereo(tmp_path):
+    s = tmp_path / "s"
+    s.mkdir()
+    write_wav(str(s / "comp.wav"), np.zeros((1, SR), np.float32), SR)
+    write_wav(str(s / "host.wav"), np.zeros((1, SR), np.float32), SR)
+    write_wav(str(s / "bad.wav"), np.zeros((2, SR), np.float32), SR)  # stereo
+    report = ops.check_audio(str(tmp_path))
+    assert len(report["ok"]) == 2 and len(report["bad"]) == 1
+    out = ops.make_stereo(str(s), str(tmp_path / "stereo"))
+    data, sr = read_wav(out)
+    assert data.shape[0] == 2 and sr == SR
+
+
+def test_anomaly_and_statistics(tmp_path):
+    d = _head_dir(tmp_path, "host", frames=50, gap=(10, 13))
+    result = tmp_path / "anomaly.jsonl"
+    ops.anomaly_search(str(tmp_path), str(result))
+    rec = json.loads(result.read_text().splitlines()[0])
+    assert rec["count"] == 3 and rec["anomaly"] == [10, 11, 12]
+
+    a_mean, a_std, c_mean, c_std = ops.compute_head_statistics(str(d))
+    assert a_mean.shape == (3,) and (a_std > 0).all()
+    ops.stamp_statistics(str(d))
+    from multimodalreactiongeneration_tpu.data.head_io import load_head_file
+
+    _, frame = load_head_file(str(d / "host_00000.head"))
+    np.testing.assert_allclose(frame.angle_mean, a_mean)
