@@ -1,0 +1,66 @@
+"""Visualization/eval layer: speed.log, rendering, nod plots."""
+
+import os
+
+import jax
+import numpy as np
+
+from multimodalreactiongeneration_tpu.infer.visualize import (
+    destandardize,
+    generation_speed_log,
+    head_pose_plotter,
+    nod_pitch_plot,
+    render_comparison,
+)
+from multimodalreactiongeneration_tpu.models.lstm_with_sampling import LSTMwithSample
+from tests.test_generate import _full_batch
+from tests.test_streaming_models import LWS_CFG
+
+STATS = {
+    "angle_mean": np.array([0.0, 0.0, 0.0]),
+    "angle_std": np.array([10.0, 10.0, 10.0]),
+    "centroid_mean": np.array([0.5, 0.5, 0.0]),
+    "centroid_std": np.array([0.05, 0.05, 0.01]),
+}
+
+
+def test_destandardize():
+    motion = np.ones((4, 18), np.float32)
+    ang, cen = destandardize(motion, STATS)
+    np.testing.assert_allclose(ang, 10.0)
+    np.testing.assert_allclose(cen[:, 0], 0.55)
+
+
+def test_speed_log_written(tmp_path):
+    model = LSTMwithSample(cfg=LWS_CFG)
+    batch = _full_batch(jax.random.PRNGKey(0))
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
+    data = tuple(np.asarray(x) for x in batch)
+    log = tmp_path / "speed.log"
+    preds = generation_speed_log(
+        model, params, "lstm_with_sampling", [data, data], str(log)
+    )
+    assert len(preds) == 2 and preds[0].shape == (2, 6, 18)
+    lines = log.read_text().splitlines()
+    assert len(lines) == 2 and "frames/s" in lines[0]
+
+
+def test_render_and_nod_plot(tmp_path):
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(25, 18)).astype(np.float32)
+    true = rng.normal(size=(25, 18)).astype(np.float32)
+    out = tmp_path / "frames"
+    n = render_comparison(pred, true, STATS, str(out), max_frames=5)
+    assert n == 5
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == 5
+
+    ratio = nod_pitch_plot(pred, true, STATS, str(tmp_path / "nod.png"))
+    assert os.path.exists(tmp_path / "nod.png")
+    assert 0.1 < ratio < 10.0
+
+
+def test_head_pose_plotter_image():
+    img = head_pose_plotter(np.array([10.0, -5.0, 0.0]), np.array([0.5, 0.5, 0.0]))
+    assert img.size == (480, 480)
+    arr = np.asarray(img)
+    assert (arr != arr[0, 0]).any()  # something was drawn
