@@ -1,0 +1,157 @@
+"""Head-pose estimation driver: video -> per-frame .head pickles.
+
+Reference: HeadPoseEstimation (/root/reference/mr_gen/utils/video_analysis/
+landmark_estimation.py:22-177) runs MediaPipe FaceMesh per frame, wraps
+each result in a FaceAdapter (centroid + calc_R + Euler, per frame on CPU)
+and writes pickles, with redo=False skip-if-exists resume (:126-129).
+
+TPU-first redesign: the landmark detector stays an external/injected
+callable (MediaPipe's C++ graph when installed, anything frame->landmarks
+otherwise), but EVERYTHING downstream of landmarks — centroid, rotation,
+Euler decomposition — is batched: landmarks accumulate per chunk and one
+vmapped jit call (ops/rotations.landmarks_to_pose) converts the whole
+chunk. Statistics are computed and stamped corpus-style at the end
+(reference io.py:88-118 + patch_for_statis).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from multimodalreactiongeneration_tpu.corpus.video import VideoSource
+from multimodalreactiongeneration_tpu.data.head_io import (
+    HeadFrame,
+    write_head_frame,
+)
+from multimodalreactiongeneration_tpu.ops.rotations import landmarks_to_pose
+
+ZERO_PADDING = 5
+
+# landmark detector: uint8 (H, W, C) frame -> (478, 3) normalized or None
+Landmarker = Callable[[np.ndarray], Optional[np.ndarray]]
+
+
+def mediapipe_landmarker(**facemesh_kwargs) -> Landmarker:
+    """The production detector (external C++ via mediapipe), if installed."""
+    try:
+        import mediapipe as mp
+    except ImportError as exc:
+        raise ImportError(
+            "mediapipe is not installed; pass a custom landmarker to "
+            "HeadPoseEstimation (any frame -> (478, 3) callable)"
+        ) from exc
+
+    mesh = mp.solutions.face_mesh.FaceMesh(
+        refine_landmarks=True, max_num_faces=1, **facemesh_kwargs
+    )
+
+    def detect(frame: np.ndarray) -> Optional[np.ndarray]:
+        res = mesh.process(frame)
+        if not getattr(res, "multi_face_landmarks", None):
+            return None
+        lms = res.multi_face_landmarks[0].landmark
+        return np.array([[p.x, p.y, p.z] for p in lms], np.float32)
+
+    return detect
+
+
+class HeadPoseEstimation:
+    """Estimate and persist head poses for a video stream.
+
+    estimate_fps < video fps subsamples frames like the reference
+    (stride = video_fps / estimate_fps, video_process.sh est-fps 25).
+    """
+
+    def __init__(
+        self,
+        landmarker: Optional[Landmarker] = None,
+        estimate_fps: float = 25.0,
+        chunk: int = 256,
+        redo: bool = False,
+    ):
+        self.landmarker = landmarker
+        self.estimate_fps = estimate_fps
+        self.chunk = chunk
+        self.redo = redo
+
+    def __call__(self, video: VideoSource, output_dir: str, name: str) -> int:
+        """Returns the number of frames written (or found existing)."""
+        if self.landmarker is None:
+            self.landmarker = mediapipe_landmarker()
+        os.makedirs(output_dir, exist_ok=True)
+        stride = max(int(round(video.fps / self.estimate_fps)), 1)
+        w, h = video.size
+
+        pending_idx: List[int] = []
+        pending_lms: List[np.ndarray] = []
+        written = 0
+
+        def flush():
+            nonlocal written
+            if not pending_idx:
+                return
+            lms = np.stack(pending_lms)  # (n, 478, 3)
+            ang, cen = landmarks_to_pose(lms, float(w), float(h))
+            ang, cen = np.asarray(ang), np.asarray(cen)
+            for j, frame_no in enumerate(pending_idx):
+                frame = HeadFrame(
+                    centroid=cen[j],
+                    angle=ang[j],
+                    resolution=(w, h),
+                    time=frame_no / video.fps,
+                    frame_no=frame_no,
+                    fps=video.fps,
+                )
+                write_head_frame(
+                    _head_path(output_dir, name, frame_no), frame_no, frame
+                )
+                written += 1
+            pending_idx.clear()
+            pending_lms.clear()
+
+        out_index = 0
+        for i, frame in enumerate(video):
+            if i % stride:
+                continue
+            path = _head_path(output_dir, name, out_index)
+            if os.path.exists(path) and not self.redo:
+                out_index += 1
+                continue
+            lm = self.landmarker(frame)
+            if lm is None:
+                write_head_frame(path, out_index, None)
+                written += 1
+            else:
+                pending_idx.append(out_index)
+                pending_lms.append(lm)
+                if len(pending_idx) >= self.chunk:
+                    flush()
+            out_index += 1
+        flush()
+        return written
+
+
+def _head_path(output_dir: str, name: str, idx: int) -> str:
+    return os.path.join(
+        output_dir, f"{name}_{str(idx).zfill(ZERO_PADDING)}.head"
+    )
+
+
+def estimate_and_stamp(
+    video: VideoSource,
+    output_dir: str,
+    name: str,
+    landmarker: Optional[Landmarker] = None,
+    estimate_fps: float = 25.0,
+    redo: bool = False,
+) -> int:
+    """Full L1 step: estimate poses, then compute+stamp corpus statistics."""
+    from multimodalreactiongeneration_tpu.corpus.ops import stamp_statistics
+
+    est = HeadPoseEstimation(landmarker, estimate_fps, redo=redo)
+    n = est(video, output_dir, name)
+    stamp_statistics(output_dir)
+    return n
