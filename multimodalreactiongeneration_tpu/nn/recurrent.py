@@ -38,24 +38,30 @@ def _uniform_init(bound: float):
 
 
 def _lstm_scan(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
-    """Single-layer, single-direction LSTM over (B, T, I)."""
+    """Single-layer, single-direction LSTM over (B, T, I).
+
+    Recurrence runs in x.dtype (bf16-friendly); matmuls accumulate in f32
+    on the MXU and cast back so the scan carry dtype stays stable."""
+    dtype = x.dtype
     xw = (
         jnp.einsum("bti,hi->bth", x, w_ih, preferred_element_type=jnp.float32)
         + b_ih
         + b_hh
-    )
+    ).astype(dtype)
     w_hh_t = w_hh.T  # (H, 4H)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        gates = xt + jnp.dot(
+            h, w_hh_t, preferred_element_type=jnp.float32
+        ).astype(dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
         g = jnp.tanh(g)
         o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        c = (f * c + i * g).astype(dtype)
+        h = (o * jnp.tanh(c)).astype(dtype)
         return (h, c), h
 
     (h, c), ys = jax.lax.scan(
@@ -66,20 +72,23 @@ def _lstm_scan(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
 
 def _gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
     """Single-layer, single-direction GRU over (B, T, I)."""
+    dtype = x.dtype
     xw = (
         jnp.einsum("bti,hi->bth", x, w_ih, preferred_element_type=jnp.float32)
         + b_ih
-    )
+    ).astype(dtype)
     w_hh_t = w_hh.T  # (H, 3H)
 
     def step(h, xt):
-        hh = jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        hh = (
+            jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32) + b_hh
+        ).astype(dtype)
         xr, xz, xn = jnp.split(xt, 3, axis=-1)
         hr, hz, hn = jnp.split(hh, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h = (1.0 - z) * n + z * h
+        h = ((1.0 - z) * n + z * h).astype(dtype)
         return h, h
 
     h, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1), reverse=reverse)

@@ -103,12 +103,20 @@ def main(argv=None):
         init_batch = next(iter(train_loader))[:2]
     else:
         train_loader, val_loader, _, _ = make_streaming_loaders(cfg, logger)
+        import jax.numpy as jnp
+
+        compute_dtype = (
+            jnp.bfloat16
+            if str(cfg.trainer.get("precision", 32)) in ("bf16", "bfloat16")
+            else jnp.float32
+        )
         train_step, eval_step = streaming_step_fns(
             model,
             cfg.model.to_dict(),
             cfg.metrics.to_dict(),
             optimizer,
             mask_self_motion_input=(model_type == "lstmformer"),
+            compute_dtype=compute_dtype,
         )
         if cfg.model.get("use_scheduled_sampling", False):
             from multimodalreactiongeneration_tpu.train.harness import (

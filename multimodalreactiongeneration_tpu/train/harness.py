@@ -62,16 +62,29 @@ def delta_scaler(feat_dim: int, delta_order: int, scale: float) -> jnp.ndarray:
     return s.at[start:].set(jnp.sqrt(scale))
 
 
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def streaming_step_fns(
     model,
     model_cfg: Dict[str, Any],
     metrics_cfg: Dict[str, Any],
     optimizer: optax.GradientTransformation,
     mask_self_motion_input: bool,
+    compute_dtype=jnp.float32,
 ):
     """(train_step, eval_step) for LSTMwithSample / Metaformer.
 
     Batch layout: the 7-tuple of (data, lengths) pairs from pad_collate.
+    compute_dtype=bfloat16 runs forward/backward in bf16 (params kept f32
+    in the optimizer, cast per step — TPU mixed precision); losses and
+    metrics reduce in f32.
     """
     lossfun = build_loss(model_cfg)
     target_dict = gen_target_dict(
@@ -89,11 +102,16 @@ def streaming_step_fns(
         if mask_self_motion_input:
             m_s = m_s * (m_s != PADDING_VALUE)
         kwargs = {} if deterministic else {"rngs": {"dropout": rng}}
+        if compute_dtype != jnp.float32:
+            params = _cast_tree(params, compute_dtype)
+            a_p, m_p, m_s, la, lmp, lms = _cast_tree(
+                (a_p, m_p, m_s, la, lmp, lms), compute_dtype
+            )
         y, _ = model.apply(
             params, a_p, m_p, m_s, la, lmp, lms,
             deterministic=deterministic, **kwargs,
         )
-        y = y[:, lead_len:]
+        y = y[:, lead_len:].astype(jnp.float32)
         mask = (target != PADDING_VALUE).astype(y.dtype)
         y = y * mask
         t = target * mask
@@ -105,6 +123,7 @@ def streaming_step_fns(
         (loss, (y, t)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
             params, batch, False, rng
         )
+        grads = _cast_tree(grads, jnp.float32)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, per_slice_sq_err(y, t, target_dict)

@@ -1,0 +1,151 @@
+"""ctypes binding for the native IO library (native/mrgen_io.cpp).
+
+The C++ layer batches the dataloader's hot path: n wav slices decoded
+into one contiguous float32 buffer per call. Falls back transparently to
+the pure-Python wavio reader when the shared library isn't built
+(build with ``make -C native``; auto-built on first use when g++ exists).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmrgen_io.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.mrgen_wav_info.restype = ctypes.c_int
+    lib.mrgen_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mrgen_read_f32.restype = ctypes.c_long
+    lib.mrgen_read_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mrgen_read_batch_f32.restype = ctypes.c_long
+    lib.mrgen_read_batch_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mrgen_frame_energy.restype = ctypes.c_long
+    lib.mrgen_frame_energy.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_slice(path: str, start: int, frames: int) -> np.ndarray:
+    """Mono float32 slice, zero-padded past EOF (channel 0)."""
+    lib = _load()
+    if lib is None:
+        from multimodalreactiongeneration_tpu.utils.wavio import read_wav
+
+        data, _ = read_wav(path, start, frames)
+        out = np.zeros(frames, np.float32)
+        out[: data.shape[1]] = data[0]
+        return out
+    out = np.empty(frames, np.float32)
+    rc = lib.mrgen_read_f32(
+        path.encode(), start, frames,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise OSError(f"native read failed ({rc}) for {path}")
+    return out
+
+
+def read_batch(
+    paths: List[str], starts: List[int], frames: int
+) -> np.ndarray:
+    """(n, frames) float32 batch in one native call."""
+    lib = _load()
+    if lib is None:
+        return np.stack([read_slice(p, s, frames) for p, s in zip(paths, starts)])
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    offsets = np.zeros(len(paths), np.int64)
+    pos = 0
+    for i, p in enumerate(paths):
+        offsets[i] = pos
+        pos += len(p.encode()) + 1
+    starts_arr = np.asarray(starts, np.int64)
+    out = np.empty((len(paths), frames), np.float32)
+    rc = lib.mrgen_read_batch_f32(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        starts_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        frames,
+        len(paths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise OSError(f"native batch read failed at segment {-rc - 1}")
+    return out
+
+
+def frame_energy(wave: np.ndarray, n_fft: int = 400, hop: int = 160):
+    """Framed energy via the native kernel (VAD front half)."""
+    lib = _load()
+    wave = np.ascontiguousarray(wave, np.float32)
+    if lib is None:
+        from multimodalreactiongeneration_tpu.data.segmentation import (
+            compute_log_power,
+        )
+
+        return np.exp(compute_log_power(wave, n_fft, hop))
+    num = max((len(wave) - n_fft) // hop + 1, 0)
+    out = np.empty(num, np.float32)
+    got = lib.mrgen_frame_energy(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(wave),
+        n_fft,
+        hop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out[:got]

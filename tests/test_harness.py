@@ -121,3 +121,26 @@ def test_multi_device_mesh_train_step(loaders):
         params, opt_state, staged, jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(loss))
+
+
+def test_bf16_compute_step(loaders):
+    import jax.numpy as jnp
+
+    train_loader, _, _ = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    train_step, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer,
+        mask_self_motion_input=False, compute_dtype=jnp.bfloat16,
+    )
+    opt_state = jax.jit(optimizer.init)(params)
+    p2, _, loss, _ = jax.jit(train_step)(
+        params, opt_state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    # params stay f32 in the optimizer
+    leaf = jax.tree_util.tree_leaves(p2)[0]
+    assert leaf.dtype == jnp.float32
