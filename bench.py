@@ -94,9 +94,13 @@ def time_fn(fn, *args, iters=3):
     return min(times)
 
 
-def eager_loop_decode(model, params, batch_data):
+LOOP_STEPS = 50  # timed slice of the eager loop; per-step cost is constant
+
+
+def eager_loop_decode(model, params, batch_data, steps=LOOP_STEPS):
     """The reference's execution model: per-step Python loop, jitted step
-    (still generous to the baseline — the reference is eager torch)."""
+    (still generous to the baseline — the reference is eager torch).
+    Returns wall-clock seconds for `steps` steady-state steps."""
     fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = batch_data
     fb, mp, ms = _form_steps(fbank, motion_p, motion_s, RATIO)
     states = _init_metaformer_states(model.cfg, BATCH)
@@ -108,12 +112,13 @@ def eager_loop_decode(model, params, batch_data):
         lambda p, a, b, c, st: model.apply(p, a, b, c, states=st, use_masks=False)
     )
     prev = ms[0]
-    ys = []
-    for t in range(FRAMES):
-        y, states = step(params, fb[t], mp[t], prev, states)
-        prev = y
-        ys.append(y)
-    return ys[-1]
+    y, states = step(params, fb[0], mp[0], prev, states)  # compile
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for t in range(1, steps + 1):
+        y, states = step(params, fb[t], mp[t], y, states)
+    jax.block_until_ready(y)
+    return time.perf_counter() - t0
 
 
 def main():
@@ -126,13 +131,9 @@ def main():
     dt_scan = time_fn(decode, params, batch)
     fps_chip = BATCH * FRAMES / dt_scan
 
-    # reference execution model on the same chip (fewer iters: it's slow)
-    t0 = time.perf_counter()
-    jax.block_until_ready(eager_loop_decode(model, params, batch))
-    # second run: everything compiled, measures steady-state loop dispatch
-    t0 = time.perf_counter()
-    jax.block_until_ready(eager_loop_decode(model, params, batch))
-    dt_loop = time.perf_counter() - t0
+    # reference execution model on the same chip, steady-state per-step
+    # cost measured over LOOP_STEPS steps (constant per step)
+    dt_loop = eager_loop_decode(model, params, batch) / LOOP_STEPS * FRAMES
     fps_loop = BATCH * FRAMES / dt_loop
 
     print(

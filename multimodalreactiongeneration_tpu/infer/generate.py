@@ -135,6 +135,7 @@ def _init_metaformer_states(model_cfg: dict, batch: int) -> List[dict]:
     hidden = model_cfg["hidden_size"]
     num_block = model_cfg["num_block"]
     num_layerd = model_cfg["num_layerd"]
+    num_inner = model_cfg["num_internal_layer"]
     n_other = len(model_cfg["modalities"]) - 1
     states = []
     for b in range(num_block):
@@ -144,9 +145,14 @@ def _init_metaformer_states(model_cfg: dict, batch: int) -> List[dict]:
         states.append(
             {
                 "emb": [None] * n_emb,
+                # crm[i] = per layerd-block list of per-inner-layer caches
+                # holding POST-projection K/V (nn/mixers.MHAMixerBlock)
                 "crm": [
                     [
-                        cache_init(batch, budgets[i], hidden)
+                        [
+                            cache_init(batch, budgets[i], hidden)
+                            for _ in range(num_inner)
+                        ]
                         for _ in range(num_layerd)
                     ]
                     for i in range(n_other)

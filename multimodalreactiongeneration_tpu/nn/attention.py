@@ -14,6 +14,9 @@ MHAforSequentail (for_sequential.py:27-37). Differences by design:
   * projections are stored in torch layout (out_features, in_features)
     under torch-compatible names so a torch state_dict imports without
     reshaping (checkpoint importer, train/checkpoint.py).
+  * project_kv / attend are exposed separately so decode caches can hold
+    POST-projection K/V: per step only the new chunk is projected instead
+    of the whole ring buffer (the decode hot-path optimization).
 """
 
 from __future__ import annotations
@@ -88,7 +91,63 @@ class TorchMHA(nn.Module):
     vdim: Optional[int] = None
     use_bias: bool = True
 
-    @nn.compact
+    def setup(self):
+        e = self.embed_dim
+        kdim = self.kdim if self.kdim is not None else e
+        vdim = self.vdim if self.vdim is not None else e
+        self.w_q = self.param("q_proj_weight", _xavier_uniform_torch, (e, e))
+        self.w_k = self.param("k_proj_weight", _xavier_uniform_torch, (e, kdim))
+        self.w_v = self.param("v_proj_weight", _xavier_uniform_torch, (e, vdim))
+        self.out_w = self.param(
+            "out_proj_weight", _xavier_uniform_torch, (e, e)
+        )
+        if self.use_bias:
+            self.b_q = self.param("q_proj_bias", nn.initializers.zeros, (e,))
+            self.b_k = self.param("k_proj_bias", nn.initializers.zeros, (e,))
+            self.b_v = self.param("v_proj_bias", nn.initializers.zeros, (e,))
+            self.out_b = self.param(
+                "out_proj_bias", nn.initializers.zeros, (e,)
+            )
+        else:
+            self.b_q = self.b_k = self.b_v = self.out_b = 0.0
+
+    def project_kv(
+        self, key: jnp.ndarray, value: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B,S,kdim/vdim) -> projected (B,S,E) pair (cacheable)."""
+        k = jnp.einsum("bsk,ek->bse", key, self.w_k) + self.b_k
+        v = jnp.einsum("bsk,ek->bse", value, self.w_v) + self.b_v
+        return k, v
+
+    def attend(
+        self,
+        query: jnp.ndarray,
+        k_proj: jnp.ndarray,
+        v_proj: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Attention over ALREADY-projected K/V (both (B,S,E))."""
+        e, h = self.embed_dim, self.num_heads
+        dh = e // h
+        batch, q_len = query.shape[0], query.shape[1]
+        k_len = k_proj.shape[1]
+
+        q = jnp.einsum("blk,ek->ble", query, self.w_q) + self.b_q
+        q = q.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
+        k = k_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
+        v = v_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
+
+        mask = _broadcast_mask(attn_mask, batch, h, q_len, k_len)
+        ctx = scaled_dot_attention(q, k, v, mask)
+        if self.dropout > 0 and not deterministic:
+            # torch drops attention *weights*; dropping the context rows is
+            # a close, fusion-friendly approximation used only in training.
+            ctx = nn.Dropout(self.dropout)(ctx, deterministic=False)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, q_len, e)
+        return jnp.einsum("ble,oe->blo", ctx, self.out_w) + self.out_b
+
     def __call__(
         self,
         query: jnp.ndarray,
@@ -98,39 +157,7 @@ class TorchMHA(nn.Module):
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        e = self.embed_dim
-        h = self.num_heads
-        dh = e // h
-        kdim = self.kdim if self.kdim is not None else e
-        vdim = self.vdim if self.vdim is not None else e
-        batch, q_len = query.shape[0], query.shape[1]
-        k_len = key.shape[1]
-
-        w_q = self.param("q_proj_weight", _xavier_uniform_torch, (e, e))
-        w_k = self.param("k_proj_weight", _xavier_uniform_torch, (e, kdim))
-        w_v = self.param("v_proj_weight", _xavier_uniform_torch, (e, vdim))
-        out_w = self.param("out_proj_weight", _xavier_uniform_torch, (e, e))
-        if self.use_bias:
-            b_q = self.param("q_proj_bias", nn.initializers.zeros, (e,))
-            b_k = self.param("k_proj_bias", nn.initializers.zeros, (e,))
-            b_v = self.param("v_proj_bias", nn.initializers.zeros, (e,))
-            out_b = self.param("out_proj_bias", nn.initializers.zeros, (e,))
-        else:
-            b_q = b_k = b_v = out_b = 0.0
-
-        q = jnp.einsum("blk,ek->ble", query, w_q) + b_q
-        k = jnp.einsum("bsk,ek->bse", key, w_k) + b_k
-        v = jnp.einsum("bsk,ek->bse", value, w_v) + b_v
-
-        q = q.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
-
-        mask = _broadcast_mask(attn_mask, batch, h, q_len, k_len)
-        ctx = scaled_dot_attention(q, k, v, mask)
-        if self.dropout > 0 and not deterministic:
-            # torch drops attention *weights*; dropping the context rows is
-            # a close, fusion-friendly approximation used only in training.
-            ctx = nn.Dropout(self.dropout)(ctx, deterministic=False)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, q_len, e)
-        return jnp.einsum("ble,oe->blo", ctx, out_w) + out_b
+        k, v = self.project_kv(key, value)
+        return self.attend(
+            query, k, v, attn_mask, deterministic=deterministic
+        )

@@ -156,8 +156,10 @@ class MHAMixerBlock(nn.Module):
     """MHA mixer (N inner layers) + FFN (reference mixer_block.py:510-603).
 
     cache=None  -> full-sequence attention under attn_mask (training path).
-    cache given -> decode path: new k/v appended to the ring buffer, the
-                   query attends over all valid cached entries.
+    cache given -> decode path: a LIST of one ring buffer per inner MHA
+                   layer holding POST-projection K/V; per step only the
+                   incoming chunk is projected (the reference's concat
+                   design reprojects the whole history every step).
     """
 
     hidden_size: int
@@ -179,22 +181,16 @@ class MHAMixerBlock(nn.Module):
         key: jnp.ndarray,
         value: jnp.ndarray,
         attn_mask: Optional[jnp.ndarray] = None,
-        cache: Optional[KVCache] = None,
+        cache: Optional[List[KVCache]] = None,
         *,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    ) -> Tuple[jnp.ndarray, Optional[List[KVCache]]]:
         act = set_nonlinearity(self.nonlinearity)
-        new_cache = cache
-        if cache is not None:
-            # attn_mask (if any) covers only the new chunk; cache_extend
-            # scatters it onto the written slots (priming path)
-            new_cache, key, value, attn_mask = cache_extend(
-                cache, key, value, chunk_mask=attn_mask
-            )
+        new_cache: Optional[List[KVCache]] = None if cache is None else []
 
         y = query
         for i in range(self.num_layers):
-            y_att = TorchMHA(
+            mha = TorchMHA(
                 embed_dim=self.hidden_size,
                 num_heads=self.num_heads,
                 dropout=self.dropout,
@@ -202,7 +198,21 @@ class MHAMixerBlock(nn.Module):
                 vdim=self.vdim,
                 use_bias=self.use_bias,
                 name=f"mha_{i}",
-            )(y, key, value, attn_mask, deterministic=deterministic)
+            )
+            if cache is None:
+                y_att = mha(y, key, value, attn_mask,
+                            deterministic=deterministic)
+            else:
+                # project only the incoming chunk; the ring buffer holds
+                # projected K/V. attn_mask (if any) covers only the chunk;
+                # cache_extend scatters it onto the written slots (priming).
+                k_new, v_new = mha.project_kv(key, value)
+                c_i, k_full, v_full, mask = cache_extend(
+                    cache[i], k_new, v_new, chunk_mask=attn_mask
+                )
+                new_cache.append(c_i)
+                y_att = mha.attend(y, k_full, v_full, mask,
+                                   deterministic=deterministic)
             if act is not None:
                 y_att = act(y_att)
             y = y_att

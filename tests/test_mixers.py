@@ -56,7 +56,7 @@ def test_mha_cached_decode_matches_full_causal_attention():
     causal = rectangular_causal_mask(T, T)
     y_full, _ = m.apply(params, x, x, x, causal, None)
 
-    cache = cache_init(1, capacity=16, kdim=E)
+    cache = [cache_init(1, capacity=16, kdim=E)]
     ys = []
     for t in range(T):
         xt = x[:, t : t + 1]

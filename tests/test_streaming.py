@@ -76,7 +76,7 @@ def test_streaming_session_steps():
     assert outs.shape == (1, 5, 18)
     assert np.isfinite(outs).all()
     # KV caches actually grew (context budget accounting)
-    assert int(session.states[0]["crm"][0][0]["length"]) == 5 * 8
+    assert int(session.states[0]["crm"][0][0][0]["length"]) == 5 * 8
 
 
 def test_streaming_wrong_chunk_size_raises():
