@@ -82,16 +82,41 @@ def make_batch(key):
     )
 
 
-def time_fn(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
+import jax.numpy as jnp
+
+
+def _sync(x):
+    """Force a real device->host sync (block_until_ready is unreliable on
+    tunneled backends; a scalar readback is not)."""
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def time_decode(decode, params, batch, n_small=2, n_large=8):
+    """Slope-based timing robust to tunneled-runtime artifacts.
+
+    Two chained runs of n_small and n_large iterations; the per-iteration
+    time is the slope, cancelling fixed costs (host sync ~28 ms, queue
+    setup). Each iteration's inputs are perturbed by a BIT-CHANGING
+    function of the previous output: the runtime memoizes executions by
+    input content, so the perturbation must actually flip float bits
+    (an 1e-12 epsilon underflows in f32 and gets memoized away)."""
+
+    def run(n, out):
+        b = batch
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        for i in range(n):
+            eps = jnp.tanh(out[0, 0, 0]) * 1e-3 + i * 1e-4
+            b = tuple(x + eps for x in b)
+            out = decode(params, b)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    out = decode(params, batch)
+    _sync(out)
+    run(1, out)  # absorb residual compiles
+    t_small = run(n_small, out)
+    t_large = run(n_large, out)
+    return max((t_large - t_small) / (n_large - n_small), 1e-9)
 
 
 LOOP_STEPS = 50  # timed slice of the eager loop; per-step cost is constant
@@ -113,12 +138,15 @@ def eager_loop_decode(model, params, batch_data, steps=LOOP_STEPS):
     )
     prev = ms[0]
     y, states = step(params, fb[0], mp[0], prev, states)  # compile
-    jax.block_until_ready(y)
+    _sync(y)
+    t0 = time.perf_counter()
+    _sync(y)
+    sync_overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
     for t in range(1, steps + 1):
         y, states = step(params, fb[t], mp[t], y, states)
-    jax.block_until_ready(y)
-    return time.perf_counter() - t0
+    _sync(y)
+    return max(time.perf_counter() - t0 - sync_overhead, 1e-9)
 
 
 def main():
@@ -128,7 +156,7 @@ def main():
     mask = sampling_mask_for(FRAMES, "full")
 
     decode = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
-    dt_scan = time_fn(decode, params, batch)
+    dt_scan = time_decode(decode, params, batch)
     fps_chip = BATCH * FRAMES / dt_scan
 
     # reference execution model on the same chip, steady-state per-step

@@ -219,6 +219,34 @@ def stamp_statistics(head_dir: str) -> None:
         write_head_frame(path, idx, frame)
 
 
+def duration_anomaly(root: str, fps: float = 25.0, tolerance: float = 1.0):
+    """Audio-duration vs head-frame-count invariant check (reference
+    scripts/patch duration_anomaly): flags sessions where the wav length
+    and the number of estimated frames disagree by > tolerance seconds."""
+    report = []
+    for dirpath, dirs, files in os.walk(root):
+        heads = [f for f in files if f.endswith(".head")]
+        if not heads:
+            continue
+        session = os.path.dirname(dirpath)
+        who = os.path.basename(dirpath)
+        wav = os.path.join(session, who + ".wav")
+        if not os.path.exists(wav):
+            continue
+        sr, frames, _ = wav_info(wav)
+        audio_sec = frames / sr
+        head_sec = len(heads) / fps
+        if abs(audio_sec - head_sec) > tolerance:
+            report.append(
+                {
+                    "dir": dirpath,
+                    "audio_sec": round(audio_sec, 2),
+                    "head_sec": round(head_sec, 2),
+                }
+            )
+    return report
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -242,6 +270,9 @@ def main(argv=None):
     p = sub.add_parser("statistics")
     p.add_argument("--target", required=True)
     p.add_argument("--stamp", action="store_true")
+    p = sub.add_parser("duration-check")
+    p.add_argument("--target", required=True)
+    p.add_argument("--fps", type=float, default=25.0)
 
     args = parser.parse_args(argv)
     if args.cmd == "rename":
@@ -270,6 +301,9 @@ def main(argv=None):
                 print(dirpath, [np.round(s, 4).tolist() for s in stats])
                 if args.stamp:
                     stamp_statistics(dirpath)
+    elif args.cmd == "duration-check":
+        for rec in duration_anomaly(args.target, args.fps):
+            print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,58 @@
+"""SimpleLSTM sliding-window autoregressive demo engine.
+
+Reference: gen_head_motion (/root/reference/mr_gen/utils/visualize/
+model_visualize.py:104-253): per predicted frame, take the last
+context_size motion frames and the matching audio window, predict one
+frame, append the prediction to the context and recompute its deltas
+in place (:229-232), slide forward.
+
+Here the whole rollout is one lax.scan: carry = the (context_size, 18)
+feature window; per step the prediction's deltas are rebuilt with
+split_and_form (identical arithmetic to the reference's in-place delta
+recompute) and rolled into the carry. Audio windows are a precomputed
+gather (steps, window_frames, 81).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodalreactiongeneration_tpu.models.simple_lstm import split_and_form
+
+
+def audio_windows(
+    fbank: jnp.ndarray, steps: int, frames_per_step: int, window_frames: int
+) -> jnp.ndarray:
+    """(T, 81) full fbank -> (steps, window_frames, 81) sliding windows.
+
+    Window for step s ends at (s + 1) * frames_per_step aligned to the
+    context end, mirroring databuild v1's audio range arithmetic
+    (databuild.py:267-275)."""
+    ends = (jnp.arange(steps) + 1) * frames_per_step
+    starts = ends - window_frames + (fbank.shape[0] - steps * frames_per_step)
+    idx = starts[:, None] + jnp.arange(window_frames)[None, :]
+    idx = jnp.clip(idx, 0, fbank.shape[0] - 1)
+    return fbank[idx]
+
+
+def sliding_window_generate(
+    model,
+    params,
+    fbank_windows: jnp.ndarray,  # (steps, W, 81)
+    context_init: jnp.ndarray,  # (context_size, 18) delta-stacked features
+    delta_order: int = 2,
+    base_size: int = 6,
+) -> jnp.ndarray:
+    """AR rollout -> (steps, 18) predicted feature frames."""
+
+    def step(ctx, fb_win):
+        y = model.apply(params, fb_win[None], ctx[None])  # (1, 1, 18)
+        new_row = split_and_form(ctx[None], y, delta_order, base_size)[0, 0]
+        ctx = jnp.concatenate([ctx[1:], new_row[None]], axis=0)
+        return ctx, new_row
+
+    _, ys = jax.lax.scan(step, context_init, fbank_windows)
+    return ys
