@@ -219,6 +219,53 @@ def stamp_statistics(head_dir: str) -> None:
         write_head_frame(path, idx, frame)
 
 
+def quarantine_sessions(
+    root: str,
+    anomaly_report: str,
+    quarantine_dir: str,
+    max_misses: int = 400,
+) -> List[str]:
+    """Move sessions whose head dirs exceed max_misses undetected frames
+    (reference data/remove_anomaly.sh:1-40, threshold 400)."""
+    os.makedirs(quarantine_dir, exist_ok=True)
+    moved = []
+    with open(anomaly_report, "r", encoding="utf-8") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["count"] <= max_misses:
+                continue
+            session = os.path.dirname(rec["path"])
+            if not session.startswith(os.path.abspath(root)) and not os.path.isdir(
+                session
+            ):
+                continue
+            dst = os.path.join(quarantine_dir, os.path.basename(session))
+            if os.path.isdir(session) and not os.path.exists(dst):
+                shutil.move(session, dst)
+                moved.append(session)
+    return moved
+
+
+def backfill_missing_frames(head_dir: str) -> int:
+    """Write (idx, None) placeholder files for gaps in the frame index
+    sequence (reference patch_for_statis_fix.py:14-25)."""
+    idxs = sorted(
+        int(f.rsplit("_", 1)[1].split(".")[0])
+        for f in os.listdir(head_dir)
+        if f.endswith(".head")
+    )
+    if not idxs:
+        return 0
+    base = os.path.split(head_dir)[1]
+    written = 0
+    for i in range(idxs[0], idxs[-1] + 1):
+        path = os.path.join(head_dir, f"{base}_{str(i).zfill(5)}.head")
+        if not os.path.exists(path):
+            write_head_frame(path, i, None)
+            written += 1
+    return written
+
+
 def duration_anomaly(root: str, fps: float = 25.0, tolerance: float = 1.0):
     """Audio-duration vs head-frame-count invariant check (reference
     scripts/patch duration_anomaly): flags sessions where the wav length
@@ -273,6 +320,13 @@ def main(argv=None):
     p = sub.add_parser("duration-check")
     p.add_argument("--target", required=True)
     p.add_argument("--fps", type=float, default=25.0)
+    p = sub.add_parser("quarantine")
+    p.add_argument("--target", required=True)
+    p.add_argument("--report", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-misses", type=int, default=400)
+    p = sub.add_parser("backfill")
+    p.add_argument("--target", required=True)
 
     args = parser.parse_args(argv)
     if args.cmd == "rename":
@@ -304,6 +358,17 @@ def main(argv=None):
     elif args.cmd == "duration-check":
         for rec in duration_anomaly(args.target, args.fps):
             print(json.dumps(rec))
+    elif args.cmd == "quarantine":
+        moved = quarantine_sessions(
+            args.target, args.report, args.output, args.max_misses
+        )
+        print(f"quarantined {len(moved)} sessions")
+    elif args.cmd == "backfill":
+        for dirpath, _, files in os.walk(args.target):
+            if any(f.endswith(".head") for f in files):
+                n = backfill_missing_frames(dirpath)
+                if n:
+                    print(f"{dirpath}: backfilled {n} placeholders")
 
 
 if __name__ == "__main__":

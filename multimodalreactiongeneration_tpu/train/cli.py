@@ -93,7 +93,10 @@ def main(argv=None):
     model_type = cfg.exp.use_model
 
     model = build_model(model_type, cfg.model)
-    optimizer = build_optimizer(cfg.optim)
+    optimizer = build_optimizer(
+        cfg.optim,
+        accumulate_grad_batches=cfg.trainer.get("accumulate_grad_batches", 1),
+    )
 
     if model_type == "simple_lstm":
         train_loader, val_loader, _, _ = make_windowed_loaders(cfg, logger)

@@ -15,12 +15,18 @@ def cosine_annealing(base_lr: float, t_max: int) -> Callable[[int], float]:
     return lambda epoch: sched(min(epoch, t_max))
 
 
-def build_optimizer(optim_cfg) -> optax.GradientTransformation:
+def build_optimizer(
+    optim_cfg, accumulate_grad_batches: int = 1
+) -> optax.GradientTransformation:
     """optim group of the reference YAML -> optax chain.
 
     The learning rate is injected via optax.inject_hyperparams so the
     per-epoch cosine schedule can be driven from the fit loop exactly like
     Lightning steps torch's scheduler once per epoch.
+
+    accumulate_grad_batches > 1 wraps the optimizer in optax.MultiSteps —
+    the TPU equivalent of Lightning's trainer.accumulate_grad_batches
+    (reference config.yaml trainer group; reference configs use 1).
     """
     kind = optim_cfg.use_optimizer
     if kind == "adam":
@@ -35,11 +41,22 @@ def build_optimizer(optim_cfg) -> optax.GradientTransformation:
         )
     else:
         raise ValueError(f"invalid optimizer type {kind!r}")
-    return optax.inject_hyperparams(make)(learning_rate=optim_cfg.lr)
+    opt = optax.inject_hyperparams(make)(learning_rate=optim_cfg.lr)
+    if accumulate_grad_batches > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_grad_batches)
+    return opt
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected hyperparam in-place-functionally."""
+    """Update the injected hyperparam in-place-functionally (transparent
+    to optax.MultiSteps wrapping)."""
+    if hasattr(opt_state, "inner_opt_state"):  # MultiSteps
+        inner = opt_state.inner_opt_state
+        return opt_state._replace(
+            inner_opt_state=inner._replace(
+                hyperparams={**inner.hyperparams, "learning_rate": lr}
+            )
+        )
     return opt_state._replace(
         hyperparams={**opt_state.hyperparams, "learning_rate": lr}
     )

@@ -165,3 +165,52 @@ def test_anomaly_and_statistics(tmp_path):
 
     _, frame = load_head_file(str(d / "host_00000.head"))
     np.testing.assert_allclose(frame.angle_mean, a_mean)
+
+
+def test_quarantine_and_backfill(tmp_path):
+    # a session with >400 misses gets quarantined
+    d = _head_dir(tmp_path / "bad_session", "comp", frames=500, gap=(0, 450))
+    good = _head_dir(tmp_path / "good_session", "comp", frames=50, gap=(5, 8))
+    report = tmp_path / "anomaly.jsonl"
+    ops.anomaly_search(str(tmp_path), str(report))
+    moved = ops.quarantine_sessions(
+        str(tmp_path), str(report), str(tmp_path / "quarantine"), max_misses=400
+    )
+    assert len(moved) == 1
+    assert (tmp_path / "quarantine" / "bad_session").is_dir()
+    assert (tmp_path / "good_session").is_dir()
+
+    # backfill: delete two files from the good dir, restore placeholders
+    os.remove(good / "comp_00020.head")
+    os.remove(good / "comp_00021.head")
+    n = ops.backfill_missing_frames(str(good))
+    assert n == 2
+    from multimodalreactiongeneration_tpu.data.head_io import load_head_file
+
+    idx, frame = load_head_file(str(good / "comp_00020.head"))
+    assert idx == 20 and frame is None
+
+
+def test_grad_accumulation_optimizer():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodalreactiongeneration_tpu.train.optim import (
+        build_optimizer,
+        set_learning_rate,
+    )
+    from multimodalreactiongeneration_tpu.utils.config import from_dict
+
+    cfg = from_dict(dict(use_optimizer="adam", momentum=0.9, weight_decay=0.0,
+                         lr=0.1, use_lr_sched=True, batch_size=1, max_epochs=2))
+    opt = build_optimizer(cfg, accumulate_grad_batches=2)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    state = set_learning_rate(state, 0.05)
+    g = {"w": jnp.ones(3)}
+    up1, state = opt.update(g, state, params)
+    # first micro-batch: no update applied yet
+    assert float(jnp.abs(up1["w"]).sum()) == 0.0
+    up2, state = opt.update(g, state, params)
+    assert float(jnp.abs(up2["w"]).sum()) > 0.0
