@@ -120,6 +120,7 @@ def main(argv=None):
             optimizer,
             mask_self_motion_input=(model_type == "lstmformer"),
             compute_dtype=compute_dtype,
+            remat=cfg.trainer.get("remat", False),
         )
         if cfg.model.get("use_scheduled_sampling", False):
             from multimodalreactiongeneration_tpu.train.harness import (

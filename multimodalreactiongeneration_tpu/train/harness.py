@@ -78,13 +78,16 @@ def streaming_step_fns(
     optimizer: optax.GradientTransformation,
     mask_self_motion_input: bool,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
     """(train_step, eval_step) for LSTMwithSample / Metaformer.
 
     Batch layout: the 7-tuple of (data, lengths) pairs from pad_collate.
     compute_dtype=bfloat16 runs forward/backward in bf16 (params kept f32
     in the optimizer, cast per step — TPU mixed precision); losses and
-    metrics reduce in f32.
+    metrics reduce in f32. remat=True rematerializes the forward in the
+    backward pass (jax.checkpoint): trades FLOPs for activation memory
+    on long sequences.
     """
     lossfun = build_loss(model_cfg)
     target_dict = gen_target_dict(
@@ -107,10 +110,15 @@ def streaming_step_fns(
             a_p, m_p, m_s, la, lmp, lms = _cast_tree(
                 (a_p, m_p, m_s, la, lmp, lms), compute_dtype
             )
-        y, _ = model.apply(
-            params, a_p, m_p, m_s, la, lmp, lms,
-            deterministic=deterministic, **kwargs,
-        )
+
+        def apply_fn(p, *arrays):
+            out, _ = model.apply(
+                p, *arrays, deterministic=deterministic, **kwargs
+            )
+            return out
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+        y = apply_fn(params, a_p, m_p, m_s, la, lmp, lms)
         y = y[:, lead_len:].astype(jnp.float32)
         mask = (target != PADDING_VALUE).astype(y.dtype)
         y = y * mask

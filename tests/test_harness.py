@@ -144,3 +144,27 @@ def test_bf16_compute_step(loaders):
     # params stay f32 in the optimizer
     leaf = jax.tree_util.tree_leaves(p2)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_remat_step_matches_plain(loaders):
+    train_loader, _, _ = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    plain, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    remat, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer,
+        mask_self_motion_input=False, remat=True,
+    )
+    st = jax.jit(optimizer.init)(params)
+    p1, _, l1, _ = jax.jit(plain)(params, st, batch, jax.random.PRNGKey(1))
+    st2 = jax.jit(optimizer.init)(params)
+    p2, _, l2, _ = jax.jit(remat)(params, st2, batch, jax.random.PRNGKey(1))
+    assert abs(float(l1) - float(l2)) < 1e-6
+    a = jax.tree_util.tree_leaves(p1)[0]
+    b = jax.tree_util.tree_leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
