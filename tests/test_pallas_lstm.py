@@ -1,0 +1,77 @@
+"""Pallas fused LSTM recurrence vs the lax.scan path (interpret mode)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalreactiongeneration_tpu.nn.recurrent import _lstm_scan
+from multimodalreactiongeneration_tpu.ops import pallas_lstm
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def _setup(b=4, t=37, h=32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    xw = jax.random.normal(ks[0], (b, t, 4 * h)) * 0.5
+    w_hh = jax.random.normal(ks[1], (4 * h, h)) * 0.2  # torch layout
+    h0 = jax.random.normal(ks[2], (b, h)) * 0.1
+    c0 = jax.random.normal(ks[3], (b, h)) * 0.1
+    return xw, w_hh, h0, c0
+
+
+def _scan_ref(xw, w_hh, h0, c0):
+    """lax.scan ground truth via the production step math."""
+    zeros_x = jnp.zeros((xw.shape[0], xw.shape[1], 1))
+    w_ih = jnp.zeros((xw.shape[-1], 1))
+    # reuse _lstm_scan by feeding xw through bias: x=0, b_ih = per-step?
+    # simpler: replicate the gate math directly
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh.T
+        i, f, g, o = jnp.split(gates, 4, -1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (hn, cn), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xw, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), hn, cn
+
+
+@pytest.mark.parametrize("t", [16, 37, 64])
+def test_forward_matches_scan(t):
+    xw, w_hh, h0, c0 = _setup(t=t)
+    ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, w_hh.T, h0, c0)
+    ys_ref, hn_ref, cn_ref = _scan_ref(xw, w_hh, h0, c0)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("t", [16, 37])
+def test_gradients_match_scan(t):
+    xw, w_hh, h0, c0 = _setup(t=t, seed=1)
+
+    def loss_pallas(xw, w_hh_t, h0, c0):
+        ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, w_hh_t, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    def loss_scan(xw, w_hh_t, h0, c0):
+        ys, hn, cn = _scan_ref(xw, w_hh_t.T, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(xw, w_hh.T, h0, c0)
+    g_s = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(xw, w_hh.T, h0, c0)
+    for a, b, name in zip(g_p, g_s, ("dxw", "dwhh", "dh0", "dc0")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
+        )
