@@ -203,13 +203,18 @@ class TorchLSTM(nn.Module):
 
 
 class TorchGRU(nn.Module):
-    """torch.nn.GRU(batch_first=True) equivalent."""
+    """torch.nn.GRU(batch_first=True) equivalent.
+
+    impl="auto" routes long recurrences through the fused Pallas kernel
+    on TPU (ops/pallas_gru.py), like TorchLSTM.
+    """
 
     input_size: int
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    impl: str = "auto"  # "auto" | "scan" | "pallas"
 
     @nn.compact
     def __call__(
@@ -223,6 +228,12 @@ class TorchGRU(nn.Module):
         num_dir = 2 if self.bidirectional else 1
         bound = 1.0 / math.sqrt(self.hidden_size)
         init = _uniform_init(bound)
+
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if impl == "pallas" and x.shape[1] < 16:
+            impl = "scan"
 
         if hx is None:
             hx = jnp.zeros(
@@ -247,9 +258,29 @@ class TorchGRU(nn.Module):
                 b_ih = self.param(f"bias_ih_{sfx}", init, (3 * self.hidden_size,))
                 b_hh = self.param(f"bias_hh_{sfx}", init, (3 * self.hidden_size,))
                 idx = layer * num_dir + direction
-                ys, h = _gru_scan(
-                    layer_in, hx[idx], w_ih, w_hh, b_ih, b_hh, bool(direction)
-                )
+                if impl == "pallas":
+                    from multimodalreactiongeneration_tpu.ops.pallas_gru import (
+                        gru_recurrence,
+                    )
+
+                    x_dir = (
+                        jnp.flip(layer_in, axis=1) if direction else layer_in
+                    )
+                    xw = (
+                        jnp.einsum(
+                            "bti,hi->bth", x_dir, w_ih,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b_ih
+                    )
+                    ys, h = gru_recurrence(xw, w_hh.T, b_hh, hx[idx])
+                    if direction:
+                        ys = jnp.flip(ys, axis=1)
+                else:
+                    ys, h = _gru_scan(
+                        layer_in, hx[idx], w_ih, w_hh, b_ih, b_hh,
+                        bool(direction),
+                    )
                 outs.append(ys)
                 h_out.append(h)
             layer_in = outs[0] if num_dir == 1 else jnp.concatenate(outs, -1)

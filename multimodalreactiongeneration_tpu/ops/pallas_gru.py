@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: fused GRU recurrence (forward + BPTT backward).
+
+Twin of ops/pallas_lstm.py for the GRU mixer family (torch gate order
+r, z, n with b_hn kept inside the reset product — nn/recurrent.py).
+Same structure: h in VMEM scratch across sequential grid steps, input
+projections streamed in time chunks, reverse-streamed backward with gate
+recomputation and VMEM accumulation of dW_hh / db_hh.
+
+xw = x @ W_ih^T + b_ih (B, T, 3H); hh = h @ W_hh^T + b_hh is computed
+in-kernel because b_hn participates inside the reset gate product.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK_T = 16
+
+
+def _gates(xw_t, h_prev, whh_t, b_hh, hdim):
+    hh = jnp.dot(h_prev, whh_t, preferred_element_type=jnp.float32) + b_hh
+    xr, xz, xn = (
+        xw_t[:, :hdim],
+        xw_t[:, hdim : 2 * hdim],
+        xw_t[:, 2 * hdim :],
+    )
+    hr, hz, hn = hh[:, :hdim], hh[:, hdim : 2 * hdim], hh[:, 2 * hdim :]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return r, z, n, hn
+
+
+def _fwd_kernel(
+    xw_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hn_out_ref, h_scr, *, t_real
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = xw_ref.shape[1]
+    hdim = h_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    def body(i, _):
+        valid = t * tc + i < t_real
+        r, z, n, _ = _gates(
+            xw_ref[:, i], h_scr[:], whh_ref[:], bhh_ref[0], hdim
+        )
+        h = (1.0 - z) * n + z * h_scr[:]
+        h_scr[:] = jnp.where(valid, h, h_scr[:])
+        ys_ref[:, i] = h
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    @pl.when(t == nt - 1)
+    def _():
+        hn_out_ref[:] = h_scr[:]
+
+
+def _bwd_kernel(
+    xw_ref, whh_ref, bhh_ref, h0_ref, ysp_ref, dys_ref, dhn_ref,
+    dxw_ref, dwhh_ref, dbhh_ref, dh0_ref,
+    dh_scr, dw_scr, db_scr,
+    *, t_real,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = xw_ref.shape[1]
+    hdim = h0_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:]
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    whh_t = whh_ref[:]
+
+    def body(j, _):
+        i = tc - 1 - j
+        global_idx = (nt - 1 - t) * tc + i
+        valid = global_idx < t_real
+        first_global = jnp.logical_and(t == nt - 1, i == 0)
+        h_prev = jnp.where(first_global, h0_ref[:], ysp_ref[:, i])
+
+        r, z, n, hn = _gates(
+            xw_ref[:, i], h_prev, whh_t, bhh_ref[0], hdim
+        )
+
+        dh = dys_ref[:, i] + dh_scr[:]
+        dz = dh * (h_prev - n)
+        dn = dh * (1.0 - z)
+        dh_prev = dh * z
+
+        dgn = dn * (1.0 - n * n)
+        dr = dgn * hn
+        dhn = dgn * r
+        dgr = dr * r * (1.0 - r)
+        dgz = dz * z * (1.0 - z)
+
+        dxw = jnp.concatenate([dgr, dgz, dgn], axis=-1)  # (B, 3H)
+        dhh = jnp.concatenate([dgr, dgz, dhn], axis=-1)  # (B, 3H)
+        dxw = jnp.where(valid, dxw, 0.0)
+        dhh = jnp.where(valid, dhh, 0.0)
+
+        dxw_ref[:, i] = dxw
+        dw_scr[:] += jax.lax.dot_general(
+            h_prev, dhh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_scr[:] += jnp.sum(dhh, axis=0, keepdims=True)
+        dh_prev = dh_prev + jax.lax.dot_general(
+            dhh, whh_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_scr[:] = jnp.where(valid, dh_prev, dh_scr[:])
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    @pl.when(t == nt - 1)
+    def _():
+        dwhh_ref[:] = dw_scr[:]
+        dbhh_ref[:] = db_scr[:]
+        dh0_ref[:] = dh_scr[:]
+
+
+def _pad_time(x, tc):
+    t = x.shape[1]
+    pad = (-t) % tc
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x, t
+
+
+def _fwd_impl(xw, w_hh_t, b_hh, h0):
+    xw_p, t_real = _pad_time(xw, CHUNK_T)
+    b, t_pad, g3 = xw_p.shape
+    h = g3 // 3
+    nt = t_pad // CHUNK_T
+    b_hh2 = b_hh.reshape(1, g3)
+
+    ys, hn = pl.pallas_call(
+        functools.partial(_fwd_kernel, t_real=t_real),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, CHUNK_T, g3), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, CHUNK_T, h), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+    )(xw_p, w_hh_t, b_hh2, h0)
+    return ys[:, :t_real], hn
+
+
+def _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn):
+    xw_p, t_real = _pad_time(xw, CHUNK_T)
+    ys_p, _ = _pad_time(ys, CHUNK_T)
+    dys_p, _ = _pad_time(dys, CHUNK_T)
+    b, t_pad, g3 = xw_p.shape
+    h = g3 // 3
+    nt = t_pad // CHUNK_T
+    rev = lambda t: (0, nt - 1 - t, 0)
+    ys_shift = jnp.concatenate([jnp.zeros((b, 1, h)), ys_p[:, :-1]], axis=1)
+    b_hh2 = b_hh.reshape(1, g3)
+
+    dxw, dwhh, dbhh, dh0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, t_real=t_real),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, g3), jnp.float32),
+            jax.ShapeDtypeStruct((h, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((h, g3), jnp.float32),
+            pltpu.VMEM((1, g3), jnp.float32),
+        ],
+    )(xw_p, w_hh_t, b_hh2, h0, ys_shift, dys_p, dhn)
+    return dxw[:, :t_real], dwhh, dbhh.reshape(g3), dh0
+
+
+@jax.custom_vjp
+def gru_recurrence(xw, w_hh_t, b_hh, h0):
+    """Fused GRU: xw (B,T,3H) = x @ W_ih^T + b_ih; w_hh_t (H,3H);
+    b_hh (3H); h0 (B,H). Returns (ys (B,T,H), h_n)."""
+    ys, hn = _fwd_impl(xw, w_hh_t, b_hh, h0)
+    return ys, hn
+
+
+def _vjp_fwd(xw, w_hh_t, b_hh, h0):
+    ys, hn = _fwd_impl(xw, w_hh_t, b_hh, h0)
+    return (ys, hn), (xw, w_hh_t, b_hh, h0, ys)
+
+
+def _vjp_bwd(res, cot):
+    xw, w_hh_t, b_hh, h0, ys = res
+    dys, dhn = cot
+    return _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn)
+
+
+gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

@@ -75,3 +75,50 @@ def test_gradients_match_scan(t):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
         )
+
+
+def _gru_scan_ref(xw, w_hh, b_hh, h0):
+    def step(h, xt):
+        hh = h @ w_hh.T + b_hh
+        xr, xz, xn = jnp.split(xt, 3, -1)
+        hr, hz, hn = jnp.split(hh, 3, -1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1 - z) * n + z * h
+        return h, h
+
+    hn, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), hn
+
+
+@pytest.mark.parametrize("t", [16, 37])
+def test_gru_forward_and_grads_match_scan(t):
+    from multimodalreactiongeneration_tpu.ops import pallas_gru
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    b, h = 4, 32
+    xw = jax.random.normal(ks[0], (b, t, 3 * h)) * 0.5
+    w_hh = jax.random.normal(ks[1], (3 * h, h)) * 0.2
+    b_hh = jax.random.normal(ks[2], (3 * h,)) * 0.1
+    h0 = jax.random.normal(ks[3], (b, h)) * 0.1
+
+    ys, hn = pallas_gru.gru_recurrence(xw, w_hh.T, b_hh, h0)
+    ys_ref, hn_ref = _gru_scan_ref(xw, w_hh, b_hh, h0)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_ref), atol=1e-5)
+
+    def loss_p(xw, wt, bh, h0):
+        ys, hn = pallas_gru.gru_recurrence(xw, wt, bh, h0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5)
+
+    def loss_s(xw, wt, bh, h0):
+        ys, hn = _gru_scan_ref(xw, wt.T, bh, h0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3))(xw, w_hh.T, b_hh, h0)
+    g_s = jax.grad(loss_s, argnums=(0, 1, 2, 3))(xw, w_hh.T, b_hh, h0)
+    for a, b_, name in zip(g_p, g_s, ("dxw", "dwhh", "dbhh", "dh0")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=name
+        )
