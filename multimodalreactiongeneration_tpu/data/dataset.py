@@ -50,6 +50,54 @@ class SegmentDatasetNX:
     def __len__(self) -> int:
         return len(self.data_list)
 
+    def raw_item(self, index: int):
+        """Host-only variant: motion features extracted on host, audio
+        returned as RAW sample slices so the loader can run ONE batched
+        device fbank call per batch (databuild-on-device; avoids a device
+        round trip per segment)."""
+        from multimodalreactiongeneration_tpu.utils.wavio import read_wav
+
+        with open(self.data_list[index], "r", encoding="utf-8") as f:
+            jdic = json.loads(f.readline())
+        pm, pa = jdic["partner_motion"], jdic["partner_audio"]
+        sm, tgt = jdic["self_motion"], jdic["target"]
+        off_p, off_s = pm["offset"], sm["offset"]
+
+        def slice_wav(seg):
+            wave, _ = read_wav(
+                pa["path"], seg["start"], seg["end"] - seg["start"]
+            )
+            return wave[0]
+
+        motion_p = self.motion(
+            pm["path"], pm["seq"]["start"] - off_p,
+            pm["seq"]["end"] - off_p, pm["seq"]["stride"],
+        )
+        motion_s = self.motion(
+            sm["path"], sm["seq"]["start"] - off_s,
+            sm["seq"]["end"] - off_s, sm["seq"]["stride"],
+        )
+        lead_motion_p = self.motion(
+            pm["path"], pm["lead"]["start"] - off_p,
+            pm["lead"]["end"] - off_p, pm["lead"]["stride"],
+        )
+        lead_motion_s = self.motion(
+            sm["path"], sm["lead"]["start"] - off_s,
+            sm["lead"]["end"] - off_s, sm["lead"]["stride"],
+        )
+        shift = tgt["shift_input_seq"]
+        target = motion_s[shift:]
+        motion_s = motion_s[: len(motion_s) - shift]
+        return {
+            "audio_seq": slice_wav(pa["seq"]),
+            "audio_lead": slice_wav(pa["lead"]),
+            "motion_p": motion_p,
+            "motion_s": motion_s,
+            "lead_motion_p": lead_motion_p,
+            "lead_motion_s": lead_motion_s,
+            "target": target,
+        }
+
     def __getitem__(self, index: int) -> Sample:
         with open(self.data_list[index], "r", encoding="utf-8") as f:
             jdic = json.loads(f.readline())
@@ -230,11 +278,84 @@ def pad_collate(
     return out
 
 
+def pad_collate_device(
+    raws,
+    audio_cfg,
+    pad_to_multiple: int = 16,
+    ratio: int = 8,
+    pad_value: float = PADDING_VALUE,
+) -> Batch:
+    """Batched-on-device feature collation.
+
+    Motion features pad on host; raw audio slices zero-pad to the bucket
+    sample count and go through ONE batched fused-fbank device call per
+    segment group (seq + lead). Frames beyond each sample's true frame
+    count are overwritten with the -100 sentinel, making the result
+    identical to per-sample extraction + feature padding (tested).
+    """
+    from multimodalreactiongeneration_tpu.ops import dsp
+
+    params = dsp.FbankParams(
+        sample_rate=audio_cfg["sample_rate"],
+        n_fft=audio_cfg["nfft"],
+        hop=audio_cfg["shift"],
+        n_mels=audio_cfg["nmels"],
+        delta_order=audio_cfg["delta_order"],
+    )
+
+    tm = max(r["motion_s"].shape[0] for r in raws)
+    tm = _round_up(tm, pad_to_multiple)
+    lead_tm = max(r["lead_motion_p"].shape[0] for r in raws)
+
+    def pad_motion(key, max_len):
+        arrs = [r[key] for r in raws]
+        lengths = np.array([a.shape[0] for a in arrs], np.int64)
+        out = np.full((len(arrs), max_len, arrs[0].shape[-1]), pad_value,
+                      np.float32)
+        for b, a in enumerate(arrs):
+            out[b, : a.shape[0]] = a
+        return out, lengths
+
+    def batched_fbank(key, frame_budget):
+        arrs = [r[key] for r in raws]
+        # sample count that yields exactly frame_budget + delta frames
+        samples_needed = (
+            (frame_budget + params.delta_order - 1) * params.hop
+            + params.n_fft
+        )
+        wave = np.zeros((len(arrs), samples_needed), np.float32)
+        frame_counts = []
+        for b, a in enumerate(arrs):
+            n = min(len(a), samples_needed)
+            wave[b, :n] = a[:n]
+            frame_counts.append(params.num_output_frames(len(a)))
+        feats = np.array(dsp.batched_logmel_with_power(wave, params))
+        # pad region -> sentinel, matching per-sample extraction + padding
+        for b, count in enumerate(frame_counts):
+            feats[b, count:] = pad_value
+        return feats, np.array(frame_counts, np.int64)
+
+    fbank = batched_fbank("audio_seq", tm * ratio)
+    motion_p = pad_motion("motion_p", tm)
+    motion_s = pad_motion("motion_s", tm)
+    lead_fbank = batched_fbank("audio_lead", lead_tm * ratio)
+    lead_motion_p = pad_motion("lead_motion_p", lead_tm)
+    lead_motion_s = pad_motion("lead_motion_s", lead_tm)
+    target = pad_motion("target", tm)
+    return [
+        fbank, motion_p, motion_s,
+        lead_fbank, lead_motion_p, lead_motion_s, target,
+    ]
+
+
 class BatchLoader:
-    """Minimal epoch iterator: shuffle, batch, collate (host-side).
+    """Minimal epoch iterator: shuffle, batch, collate.
 
     Length-bucketed shuffling: samples are grouped so each batch has
     similar motion lengths, minimizing padding waste and XLA shape count.
+    ``audio_cfg`` given -> batched-on-device feature extraction (one
+    fused fbank call per batch instead of two device round trips per
+    segment).
     """
 
     def __init__(
@@ -247,6 +368,7 @@ class BatchLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        audio_cfg=None,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
@@ -256,6 +378,7 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.audio_cfg = audio_cfg
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -274,7 +397,13 @@ class BatchLoader:
             chunk = order[i : i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            samples = [self.dataset[int(j)] for j in chunk]
-            yield pad_collate(
-                samples, self.pad_to_multiple, self.ratio
-            )
+            if self.audio_cfg is not None:
+                raws = [self.dataset.raw_item(int(j)) for j in chunk]
+                yield pad_collate_device(
+                    raws, self.audio_cfg, self.pad_to_multiple, self.ratio
+                )
+            else:
+                samples = [self.dataset[int(j)] for j in chunk]
+                yield pad_collate(
+                    samples, self.pad_to_multiple, self.ratio
+                )

@@ -51,7 +51,9 @@ def make_streaming_loaders(cfg, logger):
     pad = cfg.trainer.get("pad_to_multiple", 16)
     bs = cfg.exp.batch_size
     mk = lambda idx, sh: BatchLoader(
-        dataset, idx, bs, pad_to_multiple=pad, shuffle=sh, seed=cfg.get("seed", 0)
+        dataset, idx, bs, pad_to_multiple=pad, shuffle=sh,
+        seed=cfg.get("seed", 0),
+        audio_cfg=cfg.audio.to_dict(),  # batched-on-device fbank per batch
     )
     return mk(tr, True), mk(va, False), mk(te, False), dataset
 

@@ -139,3 +139,18 @@ def test_batch_loader_and_split(built):
     loader = BatchLoader(ds, tr, batch_size=2, shuffle=True, seed=0)
     batches = list(loader)
     assert len(batches) == (len(tr) + 1) // 2
+
+
+def test_device_batched_collate_matches_host(built):
+    builder, _, _ = built
+    ds = SegmentDatasetNX(builder.data_site, MOTION_CFG, AUDIO_CFG)
+    idx = list(range(min(len(ds), 3)))
+    host = pad_collate([ds[i] for i in idx], pad_to_multiple=16, ratio=8)
+    from multimodalreactiongeneration_tpu.data.dataset import pad_collate_device
+
+    dev = pad_collate_device(
+        [ds.raw_item(i) for i in idx], AUDIO_CFG, pad_to_multiple=16, ratio=8
+    )
+    for m, (h, d) in enumerate(zip(host, dev)):
+        np.testing.assert_array_equal(h[1], d[1])  # lengths
+        np.testing.assert_allclose(h[0], d[0], atol=2e-4), m
