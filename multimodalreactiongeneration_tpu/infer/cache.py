@@ -66,8 +66,8 @@ def cache_extend(
     capacity = cache["k"].shape[1]
     length = cache["length"]
     pos = (length + jnp.arange(n, dtype=jnp.int32)) % capacity
-    new_k = cache["k"].at[:, pos].set(key)
-    new_v = cache["v"].at[:, pos].set(value)
+    new_k = cache["k"].at[:, pos].set(key.astype(cache["k"].dtype))
+    new_v = cache["v"].at[:, pos].set(value.astype(cache["v"].dtype))
     new_len = length + n
     valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(new_len, capacity)
     if chunk_mask is None:

@@ -128,7 +128,7 @@ def generate_lws(
 # ---------------------------------------------------------------------------
 
 
-def _init_metaformer_states(model_cfg: dict, batch: int) -> List[dict]:
+def _init_metaformer_states(model_cfg: dict, batch: int, cache_dtype=jnp.float32) -> List[dict]:
     """Decode states: crm KV ring buffers sized by the per-modality
     context budgets (lstmformer.py:98-110); emb states start None."""
     budgets = context_budgets(model_cfg)
@@ -150,7 +150,9 @@ def _init_metaformer_states(model_cfg: dict, batch: int) -> List[dict]:
                 "crm": [
                     [
                         [
-                            cache_init(batch, budgets[i], hidden)
+                            cache_init(
+                                batch, budgets[i], hidden, dtype=cache_dtype
+                            )
                             for _ in range(num_inner)
                         ]
                         for _ in range(num_layerd)
@@ -167,8 +169,15 @@ def generate_metaformer(
     params,
     batch_data: Tuple[jnp.ndarray, ...],
     sampling_mask: jnp.ndarray,
+    cache_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Rollout for the Metaformer with KV ring-buffer caches."""
+    """Rollout for the Metaformer with KV ring-buffer caches.
+
+    cache_dtype=bfloat16 halves the decode's dominant HBM traffic (the
+    per-step K/V buffer reads; f32 23.2k -> bf16 33.8k frames/s/chip on
+    v5e); attention still accumulates in f32. Per-step error ~1 percent
+    relative (teacher-forced); free-run rollouts amplify any perturbation
+    through the feedback loop, so keep f32 for strict-parity evals."""
     fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = [
         _zero_padding(x) for x in batch_data
     ]
@@ -182,7 +191,7 @@ def generate_metaformer(
     # Masks stay ON: warmup block outputs feed deeper-block recurrent
     # states, so intra-lead causality matters (the chunk masks are
     # scattered onto the primed cache slots by cache_extend).
-    states = _init_metaformer_states(cfg, batch)
+    states = _init_metaformer_states(cfg, batch, cache_dtype)
     _, states = model.apply(
         params, lead_a, lead_mp, lead_ms, states=states, use_masks=True
     )
