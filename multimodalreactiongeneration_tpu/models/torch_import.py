@@ -76,6 +76,63 @@ def import_lws_state_dict(
     return import_torch_state_dict(state_dict, mapping)
 
 
+def _lstm_layered_map(ref_prefix: str, our_prefix: str, num_layers: int,
+                      use_feed_forward: bool = True) -> Dict[str, str]:
+    """LSTMLayerd with use_mixing + use_residual + use_layer_norm (the
+    SimpleLSTM configuration): ResidualConnection nests the LSTMModule and
+    the FFN under ``.module`` (lstm_block.py:92-99)."""
+    m = {}
+    for i in range(num_layers):
+        ref = f"{ref_prefix}.lstm_layered.{i}"
+        ours = f"{our_prefix}/block_{i}"
+        m[f"{ref}.lstm_module.module.lstm_module"] = (
+            f"{ours}/lstm_module/lstm_module"
+        )
+        m[f"{ref}.lstm_module.module.mixer"] = f"{ours}/lstm_module/mixer"
+        m[f"{ref}.lstm_module.layer_norm"] = f"{ours}/lstm_norm"
+        if use_feed_forward:
+            m[f"{ref}.feed_forward_module.module.input"] = f"{ours}/ff_input"
+            m[f"{ref}.feed_forward_module.module.mapping"] = f"{ours}/ff_mapping"
+            m[f"{ref}.feed_forward_module.layer_norm"] = f"{ours}/ff_norm"
+    return m
+
+
+def simple_lstm_name_map(model_cfg: Dict[str, Any]) -> Dict[str, str]:
+    """SimpleLSTM mapping (reference simple_lstm.py:48-143)."""
+    mapping = {
+        "acoustic_encoder.embed_layer": "acoustic_embed",
+        "motion_encoder.embed_layer": "motion_embed",
+        "motion_decoder.mapping.input": "mapping_input",
+        "motion_decoder.mapping.output": "mapping_output",
+    }
+    mapping.update(_lstm_layered_map(
+        "acoustic_encoder.acostic_lstm", "acoustic_lstm",
+        model_cfg["acostic_num_layers"],
+    ))
+    mapping.update(_lstm_layered_map(
+        "motion_encoder.motion_lstm", "motion_lstm",
+        model_cfg["motion_num_layers"],
+    ))
+    mapping.update(_lstm_layered_map(
+        "motion_decoder.decoder_lstm", "decoder_lstm",
+        model_cfg["decoder_num_layers"],
+    ))
+    for i in range(model_cfg["att_num_layers"]):
+        ref = f"multimodal_att.att_layers.{i}.att_module"
+        mapping[f"{ref}.module.cross_modal_att"] = f"multimodal_att/att_{i}"
+        mapping[f"{ref}.module.projection"] = f"multimodal_att/projection_{i}"
+        mapping[f"{ref}.layer_norm"] = f"multimodal_att/norm_{i}"
+    return mapping
+
+
+def import_simple_lstm_state_dict(
+    state_dict: Dict[str, np.ndarray], model_cfg: Dict[str, Any]
+) -> Dict[str, Any]:
+    return import_torch_state_dict(
+        state_dict, simple_lstm_name_map(model_cfg)
+    )
+
+
 def strip_lightning_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Lightning sometimes prefixes 'model.'; normalize."""
     if all(k.startswith("model.") for k in state_dict):
