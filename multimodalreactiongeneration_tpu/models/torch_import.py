@@ -133,6 +133,124 @@ def import_simple_lstm_state_dict(
     )
 
 
+def _mixer_block_map(ref: str, ours: str, mixer_type: str,
+                     num_internal: int, nonlinearity_none: bool) -> Dict[str, str]:
+    """One MixerBlock (reference mixer_block.py:355-603, residual=True).
+
+    ResidualConnection nests the mixer under ``.module``; FeedForward
+    nests its Sequential under ``.feed_forward`` then a second time under
+    ``.module`` when residual (mixer_block.py:78-83). With
+    nonlinearity "none" the FFN is a single Linear named ``feedforward``
+    (:63-68), else input/output (:69-76). Our FeedForward's residual
+    LayerNorm is flax-autonamed LayerNorm_0.
+    """
+    m = {}
+    if mixer_type in ("lstm", "gru"):
+        m[f"{ref}.mixer.module.mixer"] = f"{ours}/mixer"
+    elif mixer_type == "mha":
+        for k in range(num_internal):
+            m[f"{ref}.mixer.module.mixer.{k}.mha"] = f"{ours}/mha_{k}"
+    m[f"{ref}.mixer.layer_norm"] = f"{ours}/mixer_norm"
+    if nonlinearity_none:
+        m[f"{ref}.feed_forward.feed_forward.module.feedforward"] = (
+            f"{ours}/feed_forward/feedforward"
+        )
+    else:
+        m[f"{ref}.feed_forward.feed_forward.module.input"] = (
+            f"{ours}/feed_forward/input"
+        )
+        m[f"{ref}.feed_forward.feed_forward.module.output"] = (
+            f"{ours}/feed_forward/output"
+        )
+    m[f"{ref}.feed_forward.feed_forward.layer_norm"] = (
+        f"{ours}/feed_forward/LayerNorm_0"
+    )
+    return m
+
+
+def metaformer_name_map(model_cfg: Dict[str, Any]) -> Dict[str, str]:
+    """Metaformer mapping (reference lstmformer.py:199-215 +
+    multi_modal_metaformer.py:341-474 + mixer_block.py nesting).
+
+    Assumes the reference's shipped configuration: residual=True,
+    interlayer_residual=False, input/output projections off.
+    """
+    n_modal = len(model_cfg["modalities"])
+    main_idx = model_cfg["main_modal_idx"]
+    emb_mixers = list(model_cfg["emb_mixers"])
+    main_type = emb_mixers[main_idx]
+    other_types = list(emb_mixers)
+    other_types.pop(main_idx)
+    num_block = model_cfg["num_block"]
+    num_layerd = model_cfg["num_layerd"]
+    enc_layerd = model_cfg["encoder_num_layer"]
+    num_internal = model_cfg["num_internal_layer"]
+    nl_none = model_cfg.get("nonlinearity", "none") in (None, "none")
+    ffn_none = model_cfg.get("ffn_nonlinearity", "relu") in (None, "none")
+    repeat = model_cfg.get("repeat_with_encoder", False)
+
+    mapping: Dict[str, str] = {}
+    for i in range(n_modal):
+        mapping[f"metaformer.feature_embedding.{i}"] = (
+            f"metaformer/feature_embedding_{i}"
+        )
+    for b in range(num_block):
+        ref_b = f"metaformer.metaformer_blocks.{b}"
+        ours_b = f"metaformer/block_{b}"
+        encode = b == 0 or repeat
+        emb_types = [main_type] + (other_types if encode else [])
+        for m_i, mtype in enumerate(emb_types):
+            layerd = num_layerd if m_i == 0 else enc_layerd
+            for j in range(layerd):
+                mapping.update(_mixer_block_map(
+                    f"{ref_b}.embedding.modal_embeddings.{m_i}.mixer.{j}",
+                    f"{ours_b}/emb_{m_i}/block_{j}",
+                    mtype, num_internal, nl_none,
+                ))
+        for i in range(n_modal - 1):
+            for j in range(num_layerd):
+                mapping.update(_mixer_block_map(
+                    f"{ref_b}.integrator.integrators.{i}.mixer.{j}",
+                    f"{ours_b}/integrate_{i}/block_{j}",
+                    "mha", num_internal, nl_none,
+                ))
+        mapping[f"{ref_b}.integrator.cat_linear"] = f"{ours_b}/cat_linear"
+        # block FFN (residual): ffn_nonlinearity decides the layer names
+        if ffn_none:
+            mapping[f"{ref_b}.feedforward.feed_forward.module.feedforward"] = (
+                f"{ours_b}/feed_forward/feedforward"
+            )
+        else:
+            mapping[f"{ref_b}.feedforward.feed_forward.module.input"] = (
+                f"{ours_b}/feed_forward/input"
+            )
+            mapping[f"{ref_b}.feedforward.feed_forward.module.output"] = (
+                f"{ours_b}/feed_forward/output"
+            )
+        mapping[f"{ref_b}.feedforward.feed_forward.layer_norm"] = (
+            f"{ours_b}/feed_forward/LayerNorm_0"
+        )
+    # output FFN: residual=False -> bare Sequential under .feed_forward
+    if ffn_none:
+        mapping["metaformer.output_feedforward.feed_forward.feedforward"] = (
+            "metaformer/output_ff/feedforward"
+        )
+    else:
+        mapping["metaformer.output_feedforward.feed_forward.input"] = (
+            "metaformer/output_ff/input"
+        )
+        mapping["metaformer.output_feedforward.feed_forward.output"] = (
+            "metaformer/output_ff/output"
+        )
+    return mapping
+
+
+def import_metaformer_state_dict(
+    state_dict: Dict[str, np.ndarray], model_cfg: Dict[str, Any]
+) -> Dict[str, Any]:
+    return import_torch_state_dict(state_dict, metaformer_name_map(model_cfg))
+
+
 def strip_lightning_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Lightning sometimes prefixes 'model.'; normalize."""
     if all(k.startswith("model.") for k in state_dict):
