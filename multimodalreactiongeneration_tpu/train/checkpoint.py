@@ -40,7 +40,11 @@ class TopKCheckpointer:
             "params": jax.tree_util.tree_map(np.asarray, params),
             "epoch": epoch,
         }
-        # opt_state can contain non-array leaves; store arrays only
+        if opt_state is not None:
+            # store the optimizer state's array leaves flattened; the tree
+            # structure is rebuilt from optimizer.init(params) on restore
+            leaves = jax.tree_util.tree_leaves(opt_state)
+            payload["opt_leaves"] = [np.asarray(x) for x in leaves]
         self._ckpt.save(path, payload)
 
     def maybe_save(self, params, opt_state, epoch: int, val_loss: float):
@@ -143,3 +147,26 @@ def import_torch_state_dict(
             _assign(params, f"{base}/bias", array)
             continue
     return params
+
+
+def restore_opt_state(payload: Dict[str, Any], optimizer, params):
+    """Rebuild the optax state from saved leaves + a fresh init template.
+
+    The template supplies the pytree structure (optax states include
+    NamedTuples that orbax cannot reconstruct on its own); the saved
+    leaves supply the values. Returns None if the checkpoint predates
+    optimizer-state saving.
+    """
+    if "opt_leaves" not in payload or payload["opt_leaves"] is None:
+        return None
+    template = optimizer.init(params)
+    treedef = jax.tree_util.tree_structure(template)
+    leaves = payload["opt_leaves"]
+    if isinstance(leaves, dict):  # orbax restores lists as {index: leaf}
+        leaves = [leaves[k] for k in sorted(leaves, key=int)]
+    template_leaves = jax.tree_util.tree_leaves(template)
+    cast = [
+        np.asarray(x).astype(np.asarray(t).dtype).reshape(np.shape(t))
+        for x, t in zip(leaves, template_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cast)

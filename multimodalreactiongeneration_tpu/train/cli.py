@@ -145,6 +145,23 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(f"model: {model_type}, parameters: {n_params:,}")
 
+    init_opt_state = None
+    start_epoch = 0
+    if cfg.get("resume_from"):
+        from multimodalreactiongeneration_tpu.train.checkpoint import (
+            load_checkpoint,
+            restore_opt_state,
+        )
+
+        payload = load_checkpoint(cfg.resume_from)
+        params = payload["params"]
+        init_opt_state = restore_opt_state(payload, optimizer, params)
+        start_epoch = int(payload.get("epoch", -1)) + 1
+        logger.info(
+            f"resumed from {cfg.resume_from} at epoch {start_epoch} "
+            f"(optimizer state: {'yes' if init_opt_state is not None else 'no'})"
+        )
+
     generation_eval = None
     if model_type != "simple_lstm" and cfg.trainer.get(
         "run_generation_eval", False
@@ -175,7 +192,12 @@ def main(argv=None):
         seed=cfg.get("seed", 0),
     )
     params, result = trainer.fit(
-        params, train_loader, val_loader, max_epochs=cfg.trainer.max_epochs
+        params,
+        train_loader,
+        val_loader,
+        max_epochs=cfg.trainer.max_epochs,
+        init_opt_state=init_opt_state,
+        start_epoch=start_epoch,
     )
     logger.info(
         f"done: epochs={result.epochs_run} best_val={result.best_val_loss:.6f}"

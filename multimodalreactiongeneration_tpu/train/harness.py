@@ -335,9 +335,15 @@ class Trainer:
         train_loader,
         val_loader,
         max_epochs: int,
+        init_opt_state=None,
+        start_epoch: int = 0,
     ) -> Tuple[Any, FitResult]:
         params = jax.device_put(params, self._rep)
-        opt_state = jax.jit(self.optimizer.init)(params)
+        opt_state = (
+            jax.device_put(init_opt_state, self._rep)
+            if init_opt_state is not None
+            else jax.jit(self.optimizer.init)(params)
+        )
         lr_sched = (
             cosine_annealing(self.optim_cfg.lr, self.optim_cfg.max_epochs)
             if self.optim_cfg.use_lr_sched
@@ -358,7 +364,7 @@ class Trainer:
         bad_epochs = 0
         step = 0
 
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             if lr_sched is not None:
                 opt_state = set_learning_rate(opt_state, float(lr_sched(epoch)))
             train_metrics = MetricAccumulator("train_")

@@ -168,3 +168,40 @@ def test_remat_step_matches_plain(loaders):
     a = jax.tree_util.tree_leaves(p1)[0]
     b = jax.tree_util.tree_leaves(p2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_resume_restores_optimizer_state(tmp_path, loaders):
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        TopKCheckpointer,
+        load_checkpoint,
+        restore_opt_state,
+    )
+
+    train_loader, _, _ = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    train_step, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    st = jax.jit(optimizer.init)(params)
+    params, st, _, _ = jax.jit(train_step)(params, st, batch, jax.random.PRNGKey(1))
+
+    saver = TopKCheckpointer(str(tmp_path / "ck"), top_k=1)
+    saver.maybe_save(params, st, epoch=0, val_loss=0.5)
+    payload = load_checkpoint(saver.best_path())
+    restored = restore_opt_state(payload, optimizer, payload["params"])
+    assert restored is not None
+    # adam moments survive the round trip
+    a = jax.tree_util.tree_leaves(st)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    # and training continues from the restored state without error
+    p2, st2, loss, _ = jax.jit(train_step)(
+        payload["params"], restored, batch, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss))
