@@ -136,13 +136,15 @@ def collect_motion_ignore(
 class DataBuilderNX(DataBuildConfigNX):
     """Builds (or reuses) a manifest directory under <cache_root>/temp."""
 
-    def __init__(self, cfg, logger=None, cache_root: str = "./data"):
+    def __init__(self, cfg, logger=None, cache_root: str = "./data",
+                 n_jobs: int = 1):
         content = {k: cfg[k] for k in cfg if k not in ("no_cache_build", "clear_cache")}
         self.no_cache_build = cfg.get("no_cache_build", False)
         self.clear_cache = cfg.get("clear_cache", False)
         super().__init__(**content)
 
         self.logger = logger if logger is not None else DummyLogger()
+        self.n_jobs = n_jobs
         self.cache_path = os.path.join(cache_root, CACHE_DIRNAME)
         os.makedirs(self.cache_path, exist_ok=True)
 
@@ -218,6 +220,11 @@ class DataBuilderNX(DataBuildConfigNX):
         return sorted(sessions)
 
     def build(self):
+        from multimodalreactiongeneration_tpu.utils.parallel import (
+            parallel_launcher,
+        )
+
+        arg_list = []
         for session in self.session_dirs:
             wav_file = {"host": "", "comp": ""}
             motion_npz: Dict[str, List[str]] = {"host": [], "comp": []}
@@ -232,7 +239,10 @@ class DataBuilderNX(DataBuildConfigNX):
             motion_npz["comp"].sort()
             if not (wav_file["host"] and wav_file["comp"]):
                 continue
-            self.make_segment_nx(motion_npz, wav_file)
+            arg_list.append((motion_npz, wav_file))
+        parallel_launcher(
+            self.make_segment_nx, arg_list, n_jobs=self.n_jobs, unpack=True
+        )
 
     def make_segment_nx(
         self, motion_npz: Dict[str, List[str]], wav_file: Dict[str, str]

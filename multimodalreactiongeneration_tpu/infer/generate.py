@@ -137,14 +137,45 @@ def _init_metaformer_states(model_cfg: dict, batch: int, cache_dtype=jnp.float32
     num_layerd = model_cfg["num_layerd"]
     num_inner = model_cfg["num_internal_layer"]
     n_other = len(model_cfg["modalities"]) - 1
+    main_idx = model_cfg["main_modal_idx"]
+    emb_types = list(model_cfg["emb_mixers"])
+    main_type = emb_types.pop(main_idx)
+    # block-0 embedding order: [main] + others; later blocks main only
+    acoustic_fps = model_cfg["sampling_rate"] / model_cfg["shift"]
+    modal_rates = {"audio": acoustic_fps, "motion": model_cfg["pred_fps"]}
+    other_modalities = list(model_cfg["modalities"])
+    other_modalities.pop(main_idx)
+    emb_order = [("motion", main_type)] + list(
+        zip(other_modalities, emb_types)
+    )
+
+    def emb_state(modality: str, mtype: str, layerd: int):
+        """mha self-attention embeddings need their own ring buffers
+        (without them a decode step would only attend itself); recurrent
+        embeddings start from None states."""
+        if mtype != "mha":
+            return None
+        budget = int(model_cfg["max_context_len"] * modal_rates[modality])
+        return [
+            [cache_init(batch, budget, hidden, dtype=cache_dtype)
+             for _ in range(num_inner)]
+            for _ in range(layerd)
+        ]
+
     states = []
     for b in range(num_block):
-        n_emb = len(model_cfg["modalities"]) if b == 0 or model_cfg[
-            "repeat_with_encoder"
-        ] else 1
+        encode = b == 0 or model_cfg["repeat_with_encoder"]
+        emb_here = emb_order if encode else emb_order[:1]
+        emb_states = [
+            emb_state(
+                modality, mtype,
+                num_layerd if m_i == 0 else model_cfg["encoder_num_layer"],
+            )
+            for m_i, (modality, mtype) in enumerate(emb_here)
+        ]
         states.append(
             {
-                "emb": [None] * n_emb,
+                "emb": emb_states,
                 # crm[i] = per layerd-block list of per-inner-layer caches
                 # holding POST-projection K/V (nn/mixers.MHAMixerBlock)
                 "crm": [

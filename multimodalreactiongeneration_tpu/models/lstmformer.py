@@ -25,6 +25,7 @@ from multimodalreactiongeneration_tpu.nn.metaformer import MultiModalMetaformer
 from multimodalreactiongeneration_tpu.ops.masks import (
     merged_attention_mask,
     padding_indicator,
+    rectangular_causal_mask,
 )
 
 
@@ -209,6 +210,25 @@ class Metaformer(nn.Module):
                 self_masks[1] = merged_attention_mask(acoustic, acoustic)
             if other_types[1] == "mha":
                 self_masks[2] = merged_attention_mask(motion_p, motion_p)
+        elif states is not None:
+            # decode steps (use_masks=False): mha self-attention embeddings
+            # still need INTRA-CHUNK causality — an audio step carries
+            # `ratio` frames and frame i must not see frame j > i within
+            # the chunk (cache validity only handles older tokens). The
+            # chunk mask is scattered onto the primed slots by
+            # cache_extend; single-frame chunks get a trivial mask.
+            if main_type == "mha":
+                self_masks[0] = rectangular_causal_mask(
+                    motion_s.shape[1], motion_s.shape[1]
+                )
+            if other_types[0] == "mha":
+                self_masks[1] = rectangular_causal_mask(
+                    acoustic.shape[1], acoustic.shape[1]
+                )
+            if other_types[1] == "mha":
+                self_masks[2] = rectangular_causal_mask(
+                    motion_p.shape[1], motion_p.shape[1]
+                )
 
         y, _, new_states = self._build()(
             motion_s,

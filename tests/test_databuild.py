@@ -154,3 +154,15 @@ def test_device_batched_collate_matches_host(built):
     for m, (h, d) in enumerate(zip(host, dev)):
         np.testing.assert_array_equal(h[1], d[1])  # lengths
         np.testing.assert_allclose(h[0], d[0], atol=2e-4), m
+
+
+def test_parallel_launcher():
+    from multimodalreactiongeneration_tpu.utils.parallel import (
+        parallel_launcher,
+    )
+
+    out = parallel_launcher(lambda a, b: a + b, [(1, 2), (3, 4)], unpack=True)
+    assert out == [3, 7]
+    out = parallel_launcher(lambda a, b: a * b, [(2, 3), (4, 5)], n_jobs=2,
+                            unpack=True)
+    assert out == [6, 20]

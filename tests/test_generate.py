@@ -122,3 +122,24 @@ def test_metaformer_full_generation_runs_jitted():
     assert np.isfinite(np.asarray(pred)).all()
     loss = generation_loss(pred, batch[-1], mse)
     assert np.isfinite(float(loss))
+
+
+def test_metaformer_mha_emb_teacher_decode_matches_forward():
+    """mha self-attention embeddings must carry decode caches: stepwise
+    teacher-forced decode == full forward (the rectangular/causal
+    visibility frontier reproduced by the emb + integrator ring buffers)."""
+    cfg = dict(MF_CFG, max_context_len=100, emb_mixers=["mha", "mha", "mha"],
+               encoder_num_layer=1)
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(11))
+    params = jax.jit(model.init)(jax.random.PRNGKey(12), *batch[:6])
+
+    pred = generate_metaformer(
+        model, params, batch, sampling_mask_for(6, "teacher")
+    )
+    y_full, _ = model.apply(
+        params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(y_full[:, 2:]), atol=5e-4
+    )
