@@ -64,6 +64,15 @@ def cache_extend(
     """
     n = key.shape[1]
     capacity = cache["k"].shape[1]
+    if n > capacity:
+        # modular scatter positions would collide and the stored K/V
+        # would be nondeterministic; a longer prime than the context
+        # budget is a config error, so fail at trace time
+        raise ValueError(
+            f"cannot extend a capacity-{capacity} KV cache with a "
+            f"{n}-token chunk; raise max_context_len or shorten the "
+            "priming segment"
+        )
     length = cache["length"]
     pos = (length + jnp.arange(n, dtype=jnp.int32)) % capacity
     new_k = cache["k"].at[:, pos].set(key.astype(cache["k"].dtype))

@@ -175,9 +175,17 @@ class TorchLSTM(nn.Module):
                         + b_ih
                         + b_hh
                     )
+                    # the Pallas kernel is f32-only (f32 VMEM refs); run it
+                    # in f32 and cast back so bf16 training works
                     ys, (h, c) = lstm_recurrence(
-                        xw, w_hh.T, h0_all[idx], c0_all[idx]
+                        xw.astype(jnp.float32),
+                        w_hh.T.astype(jnp.float32),
+                        h0_all[idx].astype(jnp.float32),
+                        c0_all[idx].astype(jnp.float32),
                     )
+                    ys = ys.astype(x.dtype)
+                    h = h.astype(x.dtype)
+                    c = c.astype(x.dtype)
                     if direction:
                         ys = jnp.flip(ys, axis=1)
                 else:
@@ -273,7 +281,15 @@ class TorchGRU(nn.Module):
                         )
                         + b_ih
                     )
-                    ys, h = gru_recurrence(xw, w_hh.T, b_hh, hx[idx])
+                    # f32-only kernel; see TorchLSTM pallas branch
+                    ys, h = gru_recurrence(
+                        xw.astype(jnp.float32),
+                        w_hh.T.astype(jnp.float32),
+                        b_hh.astype(jnp.float32),
+                        hx[idx].astype(jnp.float32),
+                    )
+                    ys = ys.astype(x.dtype)
+                    h = h.astype(x.dtype)
                     if direction:
                         ys = jnp.flip(ys, axis=1)
                 else:

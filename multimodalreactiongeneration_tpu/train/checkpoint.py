@@ -32,6 +32,19 @@ class TopKCheckpointer:
         self.monitor = monitor
         self._saved: List[Tuple[float, str]] = []  # (val_loss, path)
         self._ckpt = ocp.PyTreeCheckpointer()
+        # seed from checkpoints already on disk so a resumed run compares
+        # against and prunes the previous run's top-k (like Lightning's
+        # ModelCheckpoint best_k_models restore)
+        for name in sorted(os.listdir(self.directory)):
+            if not name.startswith(self.monitor):
+                continue
+            try:
+                val_loss = float(name[len(self.monitor):].split("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            self._saved.append((val_loss, os.path.join(self.directory, name)))
+        self._saved.sort()
+        del self._saved[self.top_k:]
 
     def _save(self, path: str, params, opt_state, epoch: int):
         if os.path.exists(path):

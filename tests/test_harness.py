@@ -205,3 +205,33 @@ def test_resume_restores_optimizer_state(tmp_path, loaders):
         payload["params"], restored, batch, jax.random.PRNGKey(2)
     )
     assert np.isfinite(float(loss))
+
+
+def test_topk_checkpointer_reseeds_from_existing_dir(tmp_path):
+    """Resuming into a populated ckpt_dir must see the prior run's top-k.
+
+    Regression: _saved started empty on construction, so a resumed run
+    never compared against or pruned previous checkpoints and best_path()
+    ignored them.
+    """
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        TopKCheckpointer,
+    )
+
+    import os
+
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((2, 2))}
+    first = TopKCheckpointer(str(tmp_path / "ck"), top_k=2)
+    first.maybe_save(params, None, epoch=0, val_loss=0.8)
+    first.maybe_save(params, None, epoch=1, val_loss=0.4)
+
+    resumed = TopKCheckpointer(str(tmp_path / "ck"), top_k=2)
+    assert resumed.best_path() == first.best_path()
+    # worse than the existing worst: rejected
+    assert not resumed.maybe_save(params, None, epoch=2, val_loss=0.9)
+    # better: accepted, and the stale worst (V0-0.8) is pruned from disk
+    assert resumed.maybe_save(params, None, epoch=3, val_loss=0.2)
+    names = sorted(os.listdir(tmp_path / "ck"))
+    assert names == ["V1-0.400000", "V3-0.200000"]

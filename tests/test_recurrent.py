@@ -81,3 +81,34 @@ def test_lstm_init_shapes():
     names = set(params["params"].keys())
     assert "weight_ih_l0" in names and "weight_ih_l1_reverse" in names
     assert params["params"]["weight_ih_l1"].shape == (12, 6)
+
+
+@pytest.mark.parametrize("cls", [TorchLSTM, TorchGRU])
+def test_pallas_impl_accepts_bfloat16(cls, monkeypatch):
+    """bf16 training routes through the f32-only Pallas kernel via casts.
+
+    Regression: compute_dtype=bfloat16 with impl='pallas' crashed on TPU
+    ("Invalid dtype for swap. Ref dtype: float32. Value dtype: bfloat16")
+    because h0/c0/w_hh reached the kernel in bf16. The pallas branch must
+    cast in/out; outputs must match the scan path at bf16 tolerance.
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    import jax
+
+    B, T, I, H = 2, 24, 8, 16  # T >= 16 so impl='pallas' is not demoted
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, I), jnp.bfloat16)
+    pallas_model = cls(input_size=I, hidden_size=H, impl="pallas")
+    scan_model = cls(input_size=I, hidden_size=H, impl="scan")
+    params = pallas_model.init(jax.random.PRNGKey(1), x)
+    y_p, s_p = pallas_model.apply(params, x)
+    y_s, s_s = scan_model.apply(params, x)
+    assert y_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y_p, np.float32), np.asarray(y_s, np.float32), atol=3e-2
+    )
