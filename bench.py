@@ -6,12 +6,13 @@ with the flagship Metaformer at the reference's production size
 20-second dialog windows (250 motion frames @ 12.5 fps, the max_len
 config, config.yaml:203).
 
-``vs_baseline`` is the speedup over the reference's *execution model* —
-an eager per-timestep Python loop dispatching the full model each step
-(head_motion_generation, lstmformer.py:466-496) — run on the SAME chip
-with the same weights, isolating the framework design (single fused
-lax.scan + KV ring buffers) from the hardware. The reference itself
-publishes no numbers (BASELINE.md).
+``vs_baseline`` is the speedup over the MEASURED reference baseline —
+the reference's own CPU-PyTorch code (mr_gen MultiModalMetaformer +
+the head_motion_generation per-step loop, lstmformer.py:466-521) run on
+this box at the identical workload. The reference publishes no numbers
+(BASELINE.md), so the denominator below was captured with
+``python benchmarks/torch_baseline.py`` and is recorded in BASELINE.md;
+re-run that script to re-derive it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,8 +24,6 @@ import jax
 import numpy as np
 
 from multimodalreactiongeneration_tpu.infer.generate import (
-    _form_steps,
-    _init_metaformer_states,
     generate_metaformer,
     sampling_mask_for,
 )
@@ -91,15 +90,17 @@ def _sync(x):
     return float(jnp.asarray(x).ravel()[0])
 
 
-def time_decode(decode, params, batch, n_small=2, n_large=8):
+def time_decode(decode, params, batch, n_small=2, n_large=8, estimates=3):
     """Slope-based timing robust to tunneled-runtime artifacts.
 
-    Two chained runs of n_small and n_large iterations; the per-iteration
+    Chained runs of n_small and n_large iterations; the per-iteration
     time is the slope, cancelling fixed costs (host sync ~28 ms, queue
     setup). Each iteration's inputs are perturbed by a BIT-CHANGING
     function of the previous output: the runtime memoizes executions by
     input content, so the perturbation must actually flip float bits
-    (an 1e-12 epsilon underflows in f32 and gets memoized away)."""
+    (an 1e-12 epsilon underflows in f32 and gets memoized away).
+    The slope is re-estimated ``estimates`` times and the MEDIAN taken:
+    single slopes vary run-to-run on the shared tunnel."""
 
     def run(n, out):
         b = batch
@@ -114,39 +115,20 @@ def time_decode(decode, params, batch, n_small=2, n_large=8):
     out = decode(params, batch)
     _sync(out)
     run(1, out)  # absorb residual compiles
-    t_small = run(n_small, out)
-    t_large = run(n_large, out)
-    return max((t_large - t_small) / (n_large - n_small), 1e-9)
+    slopes = []
+    for _ in range(estimates):
+        t_small = run(n_small, out)
+        t_large = run(n_large, out)
+        slopes.append(
+            max((t_large - t_small) / (n_large - n_small), 1e-9)
+        )
+    return float(np.median(slopes))
 
 
-LOOP_STEPS = 50  # timed slice of the eager loop; per-step cost is constant
-
-
-def eager_loop_decode(model, params, batch_data, steps=LOOP_STEPS):
-    """The reference's execution model: per-step Python loop, jitted step
-    (still generous to the baseline — the reference is eager torch).
-    Returns wall-clock seconds for `steps` steady-state steps."""
-    fbank, motion_p, motion_s, lead_a, lead_mp, lead_ms, _ = batch_data
-    fb, mp, ms = _form_steps(fbank, motion_p, motion_s, RATIO)
-    states = _init_metaformer_states(model.cfg, BATCH)
-    warm = jax.jit(
-        lambda p, a, b, c, st: model.apply(p, a, b, c, states=st, use_masks=True)
-    )
-    _, states = warm(params, lead_a, lead_mp, lead_ms, states)
-    step = jax.jit(
-        lambda p, a, b, c, st: model.apply(p, a, b, c, states=st, use_masks=False)
-    )
-    prev = ms[0]
-    y, states = step(params, fb[0], mp[0], prev, states)  # compile
-    _sync(y)
-    t0 = time.perf_counter()
-    _sync(y)
-    sync_overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for t in range(1, steps + 1):
-        y, states = step(params, fb[t], mp[t], y, states)
-    _sync(y)
-    return max(time.perf_counter() - t0 - sync_overhead, 1e-9)
+# Reference's own CPU-PyTorch code at the identical workload, measured on
+# this box (2026-08-16): 197.11 frames/s, torch 2.13.0+cpu, 1 CPU.
+# Re-derive with `python benchmarks/torch_baseline.py`; see BASELINE.md.
+TORCH_CPU_REFERENCE_FPS = 197.11
 
 
 def main():
@@ -159,18 +141,13 @@ def main():
     dt_scan = time_decode(decode, params, batch)
     fps_chip = BATCH * FRAMES / dt_scan
 
-    # reference execution model on the same chip, steady-state per-step
-    # cost measured over LOOP_STEPS steps (constant per step)
-    dt_loop = eager_loop_decode(model, params, batch) / LOOP_STEPS * FRAMES
-    fps_loop = BATCH * FRAMES / dt_loop
-
     print(
         json.dumps(
             {
                 "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
                 "value": round(fps_chip, 2),
                 "unit": "frames/s/chip (batch 8 x 250 frames, metaformer-256x5)",
-                "vs_baseline": round(fps_chip / fps_loop, 2),
+                "vs_baseline": round(fps_chip / TORCH_CPU_REFERENCE_FPS, 2),
             }
         )
     )
