@@ -71,22 +71,45 @@ class HeadPoseEstimation:
         estimate_fps: float = 25.0,
         chunk: int = 256,
         redo: bool = False,
+        visualize: bool = False,
+        encoder_cmd=None,
     ):
         self.landmarker = landmarker
         self.estimate_fps = estimate_fps
         self.chunk = chunk
         self.redo = redo
+        self.visualize = visualize
+        self.encoder_cmd = encoder_cmd
 
     def __call__(self, video: VideoSource, output_dir: str, name: str) -> int:
-        """Returns the number of frames written (or found existing)."""
+        """Returns the number of frames written (or found existing).
+
+        With visualize=True an overlay movie ``<name>_visualized.mp4``
+        (landmark cloud + heading per processed frame) is rendered
+        alongside, like the reference's visualize mode
+        (landmark_estimation.py:115-139).
+        """
         if self.landmarker is None:
             self.landmarker = mediapipe_landmarker()
         os.makedirs(output_dir, exist_ok=True)
         stride = max(int(round(video.fps / self.estimate_fps)), 1)
         w, h = video.size
 
+        writer = None
+        if self.visualize:
+            from multimodalreactiongeneration_tpu.infer.video import (
+                FfmpegVideoWriter,
+            )
+
+            writer = FfmpegVideoWriter(
+                os.path.join(output_dir, f"{name}_visualized.mp4"),
+                fps=self.estimate_fps,
+                encoder_cmd=self.encoder_cmd,
+            )
+
         pending_idx: List[int] = []
         pending_lms: List[np.ndarray] = []
+        pending_frames: List[np.ndarray] = []
         written = 0
 
         def flush():
@@ -109,8 +132,13 @@ class HeadPoseEstimation:
                     _head_path(output_dir, name, frame_no), frame_no, frame
                 )
                 written += 1
+                if writer is not None:
+                    writer.write(
+                        _overlay(pending_frames[j], lms[j], ang[j], cen[j])
+                    )
             pending_idx.clear()
             pending_lms.clear()
+            pending_frames.clear()
 
         out_index = 0
         for i, frame in enumerate(video):
@@ -124,14 +152,63 @@ class HeadPoseEstimation:
             if lm is None:
                 write_head_frame(path, out_index, None)
                 written += 1
+                if writer is not None:
+                    # keep overlay frames in stream order: drain the
+                    # batched chunk before this raw passthrough frame
+                    flush()
+                    writer.write(np.ascontiguousarray(frame[..., :3]))
             else:
                 pending_idx.append(out_index)
                 pending_lms.append(lm)
+                if writer is not None:
+                    pending_frames.append(np.asarray(frame[..., :3]))
                 if len(pending_idx) >= self.chunk:
                     flush()
             out_index += 1
         flush()
+        if writer is not None:
+            writer.close()
         return written
+
+
+def _overlay(
+    frame: np.ndarray,
+    landmarks: np.ndarray,
+    angle: np.ndarray,
+    centroid: np.ndarray,
+) -> np.ndarray:
+    """Raw landmark cloud + heading drawn onto the frame (uint8 RGB).
+
+    Equivalent to the reference's head_pose_plotter(frame, face_info)
+    overlay (landmark_estimation.py:134-139): here the raw normalized
+    landmarks ARE the posed cloud, so they are drawn directly and only
+    the heading comes from the estimated pose.
+    """
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(np.ascontiguousarray(frame).astype(np.uint8))
+    draw = ImageDraw.Draw(img)
+    h, w = frame.shape[:2]
+    for x, y, _ in landmarks:
+        if 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0:
+            draw.ellipse(
+                [x * w - 1, y * h - 1, x * w + 1, y * h + 1],
+                outline=(50, 255, 50),
+            )
+    from multimodalreactiongeneration_tpu.ops.rotations import (
+        angles_to_matrix,
+    )
+
+    R = np.asarray(angles_to_matrix(np.asarray(angle, np.float32), "xyz"))
+    heading = (R @ (np.array([0.0, 0.0, 1.0]) * 200.0))[:2]
+    nx, ny = float(landmarks[1][0]), float(landmarks[1][1])
+    if 0.0 <= nx <= 1.0 and 0.0 <= ny <= 1.0:
+        draw.line(
+            [nx * w, ny * h, nx * w + heading[0], ny * h + heading[1]],
+            fill=(50, 50, 255),
+            width=3,
+        )
+    return np.asarray(img)
 
 
 def _head_path(output_dir: str, name: str, idx: int) -> str:

@@ -29,6 +29,7 @@ from multimodalreactiongeneration_tpu.infer.visualize import (
     generation_speed_log,
     nod_pitch_plot,
     render_comparison,
+    render_segment_video,
 )
 from multimodalreactiongeneration_tpu.models import build_model
 from multimodalreactiongeneration_tpu.train.checkpoint import load_checkpoint
@@ -79,30 +80,91 @@ def main(argv=None):
     ]
     logger.info(f"genrt_loss over {len(losses)} batches: {np.mean(losses):.6f}")
 
-    # render + nod plot for the first sample of the first batch, using the
-    # stats stored in its manifest's self-motion npz
-    with open(dataset.data_list[0], "r", encoding="utf-8") as f:
-        manifest = json.loads(f.readline())
-    with np.load(manifest["self_motion"]["path"]) as z:
-        stats = {
-            k: z[k]
-            for k in ("angle_mean", "angle_std", "centroid_mean", "centroid_std")
-        }
-    pred0 = preds[0][0]
-    true0 = batches[0][-1][0]
-    valid = true0[:, 0] != -100.0
-    n = render_comparison(
-        pred0[valid],
-        true0[valid],
-        stats,
-        os.path.join(output_dir, "frames"),
-        wav_path=manifest["partner_audio"]["path"],
-        max_frames=cfg.get("max_render_frames", 50),
+    # a fixed face cloud re-posed per frame, like the reference's
+    # sample.head (visualize_metaformer.py:57-61); pose-only dots if unset
+    face = None
+    face_path = cfg.get("face_head_path")
+    if face_path:
+        from multimodalreactiongeneration_tpu.data.head_io import (
+            load_head_frame,
+        )
+
+        face = load_head_frame(face_path).face
+
+    # render EVERY eval segment end-to-end (reference gen_head_motion
+    # loops all batches): muxed .mp4 per segment when ffmpeg is present,
+    # PNG frame sequences otherwise
+    from multimodalreactiongeneration_tpu.infer.video import have_ffmpeg
+
+    use_video = have_ffmpeg() and not cfg.get("render_png_only", False)
+    max_frames = cfg.get("max_render_frames")
+    batch_size = int(cfg.get("eval_batch_size", 8))
+    data_fps = float(cfg.data.get("fps", 25.0))
+    pred_fps = float(cfg.model.get("pred_fps", 12.5))
+    n_frames, ratios = 0, []
+    for bi, (pred_b, batch) in enumerate(zip(preds, batches)):
+        true_b = batch[-1]
+        for ii in range(pred_b.shape[0]):
+            item = bi * batch_size + ii
+            if item >= len(dataset):
+                break
+            with open(dataset.data_list[item], "r", encoding="utf-8") as f:
+                manifest = json.loads(f.readline())
+            with np.load(manifest["self_motion"]["path"]) as z:
+                stats = {
+                    k: z[k]
+                    for k in (
+                        "angle_mean",
+                        "angle_std",
+                        "centroid_mean",
+                        "centroid_std",
+                    )
+                }
+            seg = os.path.splitext(
+                os.path.basename(dataset.data_list[item])
+            )[0]
+            pred = pred_b[ii]
+            true = true_b[ii]
+            valid = true[:, 0] != -100.0
+            pred, true = pred[valid], true[valid]
+            wav = manifest["partner_audio"]["path"]
+            if use_video:
+                n_frames += render_segment_video(
+                    pred,
+                    true,
+                    stats,
+                    os.path.join(output_dir, seg, f"{seg}.mp4"),
+                    wav_path=wav,
+                    seq=manifest["self_motion"]["seq"],
+                    data_fps=data_fps,
+                    pred_fps=pred_fps,
+                    face=face,
+                    max_frames=max_frames,
+                )
+            else:
+                n_frames += render_comparison(
+                    pred,
+                    true,
+                    stats,
+                    os.path.join(output_dir, seg),
+                    wav_path=wav,
+                    max_frames=max_frames,
+                    face=face,
+                )
+            ratios.append(
+                nod_pitch_plot(
+                    pred,
+                    true,
+                    stats,
+                    os.path.join(output_dir, seg, "nod.png"),
+                )
+            )
+    ratio = float(np.mean(ratios)) if ratios else 0.0
+    logger.info(
+        f"rendered {n_frames} frames over {len(ratios)} segments "
+        f"({'mp4' if use_video else 'png'}); "
+        f"mean nod amplitude ratio: {ratio:.3f}"
     )
-    ratio = nod_pitch_plot(
-        pred0[valid], true0[valid], stats, os.path.join(output_dir, "nod.png")
-    )
-    logger.info(f"rendered {n} frames; nod amplitude ratio: {ratio:.3f}")
     print(
         json.dumps(
             {

@@ -5,10 +5,11 @@ visualize_metaformer.py:
   * batched generation with wall-clock timing appended to ``speed.log``
     per sample (:115-127) — the reference's only latency metric
   * de-standardization via the npz stats (:129-132)
-  * predicted-vs-ground-truth rendering (:239-267): head pose point +
-    heading vector per frame (head_pose_plotter, visualizer.py:84-123),
-    drawn with PIL instead of cv2 (cv2/ffmpeg absent in this image);
-    frames export as PNG sequences + the wav is copied alongside
+  * predicted-vs-ground-truth rendering (:239-267): the face landmark
+    cloud re-posed per frame + heading vector (head_pose_plotter,
+    visualizer.py:84-123), drawn with PIL instead of cv2; per segment
+    either a muxed .mp4 via the ffmpeg pipe writer (infer/video.py,
+    render_segment_video) or a PNG sequence + wav fallback
   * 5-second pitch ("nod") plots + amplitude-ratio printout (:300-318)
     via matplotlib
 
@@ -72,30 +73,93 @@ def generation_speed_log(
 
 
 def head_pose_plotter(
-    angle_deg: np.ndarray,
-    centroid: np.ndarray,
-    size: Tuple[int, int] = (480, 480),
-    color=(60, 160, 255),
-):
-    """Render one head pose: centroid dot + heading vector (PIL Image).
+    frame: np.ndarray,
+    head_pose: Optional[Dict[str, np.ndarray]],
+    clr: Tuple[int, int, int] = (50, 255, 50),
+    clr_sub: Tuple[int, int, int] = (50, 50, 255),
+) -> np.ndarray:
+    """Draw a posed face landmark cloud + heading vector onto ``frame``.
 
-    Reference visualizer.py:84-123 draws the face point cloud + heading
-    with cv2; the heading is the rotated forward (-z) axis projected to
-    the image plane.
+    Reference visualizer.py:84-123 semantics: the stored face cloud
+    (de-rotated, centered, normalized coords) is re-posed by the frame's
+    angle/centroid — ``R.T @ face + centroid`` — and every landmark is
+    plotted as a 1-px dot; the heading is ``R @ [0,0,1]*200`` pixels
+    drawn from the nose landmark (index 1). Landmarks outside [0, 1]
+    normalized range are skipped (the mediapipe pixel-coord rule).
+    ``head_pose`` is {"face": (N,3) or None, "centroid": (3,),
+    "angle": (3,) degrees}; with no face cloud, falls back to a centroid
+    dot so pose-only corpora still render.
     """
     from PIL import Image, ImageDraw
 
-    img = Image.new("RGB", size, (20, 20, 24))
+    if head_pose is None:
+        return frame
+    img = Image.fromarray(frame)
     draw = ImageDraw.Draw(img)
-    w, h = size
-    cx, cy = float(centroid[0]) * w, float(centroid[1]) * h
-    R = np.asarray(angles_to_matrix(np.asarray(angle_deg, np.float32), "xyz"))
-    heading = R.T @ np.array([0.0, 0.0, -1.0])
-    hx, hy = cx + heading[0] * 80, cy + heading[1] * 80
-    r = 8
-    draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=color)
-    draw.line([cx, cy, hx, hy], fill=(255, 255, 255), width=3)
-    return img
+    h, w = frame.shape[:2]
+    angle = np.asarray(head_pose["angle"], np.float32)
+    centroid = np.asarray(head_pose["centroid"], np.float32)
+    face = head_pose.get("face")
+    R = np.asarray(angles_to_matrix(angle, "xyz"))
+    heading = (R @ (np.array([0.0, 0.0, 1.0]) * 200.0))[:2]
+
+    if face is None:
+        nose = centroid[:2]
+    else:
+        face = (R.T @ np.asarray(face, np.float32).T).T + centroid
+        nose = face[1][:2]
+    if 0.0 <= nose[0] <= 1.0 and 0.0 <= nose[1] <= 1.0:
+        sx, sy = nose[0] * w, nose[1] * h
+        draw.line(
+            [sx, sy, sx + float(heading[0]), sy + float(heading[1])],
+            fill=tuple(clr_sub),
+            width=3,
+        )
+    if face is None:
+        cx, cy = centroid[0] * w, centroid[1] * h
+        draw.ellipse([cx - 6, cy - 6, cx + 6, cy + 6], fill=tuple(clr))
+    else:
+        for x, y, _ in face:
+            if 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0:
+                px, py = float(x) * w, float(y) * h
+                draw.ellipse([px - 1, py - 1, px + 1, py + 1],
+                             outline=tuple(clr))
+    return np.asarray(img)
+
+
+def _pose_panel(
+    angle_deg: np.ndarray,
+    centroid: np.ndarray,
+    face: Optional[np.ndarray],
+    size: Tuple[int, int] = (480, 480),
+    color=(60, 160, 255),
+) -> np.ndarray:
+    """One (H, W, 3) uint8 panel with the pose drawn on a dark board."""
+    board = np.full((size[1], size[0], 3), (20, 20, 24), np.uint8)
+    return head_pose_plotter(
+        board,
+        {"face": face, "centroid": centroid, "angle": angle_deg},
+        clr=color,
+        clr_sub=(255, 255, 255),
+    )
+
+
+def comparison_frames(
+    pred_motion: np.ndarray,
+    true_motion: np.ndarray,
+    stats: Dict[str, np.ndarray],
+    face: Optional[np.ndarray] = None,
+    max_frames: Optional[int] = None,
+    size: Tuple[int, int] = (480, 480),
+):
+    """Yield side-by-side predicted|ground-truth frames as uint8 arrays."""
+    p_ang, p_cen = destandardize(pred_motion, stats)
+    t_ang, t_cen = destandardize(true_motion, stats)
+    n = len(p_ang) if max_frames is None else min(max_frames, len(p_ang))
+    for t in range(n):
+        left = _pose_panel(p_ang[t], p_cen[t], face, size, (60, 160, 255))
+        right = _pose_panel(t_ang[t], t_cen[t], face, size, (90, 220, 120))
+        yield np.concatenate([left, right], axis=1)
 
 
 def render_comparison(
@@ -105,24 +169,83 @@ def render_comparison(
     output_dir: str,
     wav_path: Optional[str] = None,
     max_frames: Optional[int] = None,
+    face: Optional[np.ndarray] = None,
 ) -> int:
-    """Side-by-side predicted/GT frame sequence -> output_dir/frame_%05d.png."""
+    """Side-by-side predicted/GT frame sequence -> output_dir/frame_%05d.png.
+
+    PNG fallback for hosts without ffmpeg; render_segment_video is the
+    full muxed-mp4 deliverable.
+    """
     from PIL import Image
 
     os.makedirs(output_dir, exist_ok=True)
-    p_ang, p_cen = destandardize(pred_motion, stats)
-    t_ang, t_cen = destandardize(true_motion, stats)
-    n = len(p_ang) if max_frames is None else min(max_frames, len(p_ang))
-    for t in range(n):
-        left = head_pose_plotter(p_ang[t], p_cen[t], color=(60, 160, 255))
-        right = head_pose_plotter(t_ang[t], t_cen[t], color=(90, 220, 120))
-        frame = Image.new("RGB", (960, 480))
-        frame.paste(left, (0, 0))
-        frame.paste(right, (480, 0))
-        frame.save(os.path.join(output_dir, f"frame_{t:05d}.png"))
+    n = 0
+    for t, frame in enumerate(
+        comparison_frames(pred_motion, true_motion, stats, face, max_frames)
+    ):
+        Image.fromarray(frame).save(
+            os.path.join(output_dir, f"frame_{t:05d}.png")
+        )
+        n = t + 1
     if wav_path and os.path.exists(wav_path):
         shutil.copy(wav_path, os.path.join(output_dir, "audio.wav"))
     return n
+
+
+def render_segment_video(
+    pred_motion: np.ndarray,
+    true_motion: np.ndarray,
+    stats: Dict[str, np.ndarray],
+    output_path: str,
+    wav_path: Optional[str],
+    seq: Optional[Dict[str, int]] = None,
+    data_fps: float = 25.0,
+    pred_fps: float = 12.5,
+    face: Optional[np.ndarray] = None,
+    max_frames: Optional[int] = None,
+    encoder_cmd=None,
+    runner=None,
+) -> int:
+    """Render one eval segment to an .mp4 with the dialog audio muxed in.
+
+    The reference deliverable (visualize_metaformer.py:239-318): every
+    frame of predicted-vs-GT pose video at pred_fps, then the source wav
+    sliced over the segment's video-frame span [seq.start, seq.end +
+    seq.stride) and muxed alongside. ``seq`` is the manifest's
+    self_motion.seq dict; without it the whole wav is muxed.
+    Returns the number of frames written.
+    """
+    import subprocess
+
+    from multimodalreactiongeneration_tpu.infer.video import (
+        FfmpegVideoWriter,
+        cat_audio,
+        patch_audio,
+    )
+
+    runner = runner or subprocess.run
+    writer = FfmpegVideoWriter(output_path, pred_fps, encoder_cmd=encoder_cmd)
+    with writer:
+        for frame in comparison_frames(
+            pred_motion, true_motion, stats, face, max_frames
+        ):
+            writer.write(frame)
+    if wav_path and os.path.exists(wav_path):
+        patched = output_path.rsplit(".", 1)[0] + "_patched.mp4"
+        if seq is not None:
+            cat_audio(
+                output_path,
+                patched,
+                wav_path,
+                start=seq["start"],
+                stop=seq["end"],
+                fps=data_fps,
+                stride=seq.get("stride", 1),
+                runner=runner,
+            )
+        else:
+            patch_audio(patched, output_path, wav_path, runner=runner)
+    return writer.frames_written
 
 
 def nod_pitch_plot(
@@ -140,6 +263,7 @@ def nod_pitch_plot(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     p_ang, _ = destandardize(pred_motion, stats)
     t_ang, _ = destandardize(true_motion, stats)
     pitch_p, pitch_t = p_ang[:, 0], t_ang[:, 0]

@@ -8,6 +8,8 @@ import pytest
 from multimodalreactiongeneration_tpu.train.cli import main
 from tests.fixtures import make_synthetic_corpus, make_synthetic_corpus_v1
 
+
+pytestmark = pytest.mark.slow
 SMALL_STREAMING = [
     "hidden_size=32",
     "bottleneck_size=8",
@@ -129,3 +131,69 @@ def test_cli_scheduled_sampling(corpus_nx, tmp_path):
     assert result.epochs_run == 1
     assert np.isfinite(result.best_val_loss)
     assert np.isfinite(result.history[0]["train_loss"])
+
+
+def test_eval_cli_renders_all_segments(corpus_nx, tmp_path, monkeypatch):
+    """Train one epoch, then drive the eval CLI: speed.log + a rendered
+    output per eval segment (mp4 path exercised via a fake encoder)."""
+    import glob
+    import json as _json
+
+    result = _run(
+        "configs/lstm_with_sampling.yaml",
+        corpus_nx,
+        tmp_path,
+        SMALL_STREAMING
+        + [
+            "model.sampler_hidden_size=16",
+            "model.sampler_num_layers=1",
+            "trainer.run_generation_eval=false",
+        ],
+    )
+    ckpt = os.path.join(f"{tmp_path}/ckpts/test", "last")
+    assert os.path.isdir(ckpt)
+
+    from multimodalreactiongeneration_tpu.infer import cli as infer_cli
+    from multimodalreactiongeneration_tpu.infer import video as vid
+    from tests.test_video import fake_encoder_cmd
+
+    # route the mp4 branch through the fake encoder; skip the audio mux
+    monkeypatch.setattr(vid, "have_ffmpeg", lambda: True)
+    import multimodalreactiongeneration_tpu.infer.visualize as viz
+
+    orig = viz.render_segment_video
+
+    def patched(*args, **kw):
+        kw["encoder_cmd"] = fake_encoder_cmd
+        kw["runner"] = lambda cmd, check: None
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(viz, "render_segment_video", patched)
+    monkeypatch.setattr(infer_cli, "render_segment_video", patched)
+
+    out = tmp_path / "viz"
+    cwd = os.getcwd()
+    os.chdir(tmp_path / "work")
+    try:
+        infer_cli.main(
+            [
+                "--config",
+                os.path.join(cwd, "configs/lstm_with_sampling.yaml"),
+                f"data_dir={corpus_nx}",
+                f"model_path={ckpt}",
+                f"output_path={out}",
+                f"log_dir={tmp_path}/log",
+                "name=test",
+                "max_render_frames=4",
+                "model.sampler_hidden_size=16",
+                "model.sampler_num_layers=1",
+            ]
+            + SMALL_STREAMING
+        )
+    finally:
+        os.chdir(cwd)
+
+    assert os.path.exists(out / "speed.log")
+    mp4s = glob.glob(str(out / "*" / "*.mp4"))
+    nods = glob.glob(str(out / "*" / "nod.png"))
+    assert len(mp4s) >= 1 and len(nods) == len(mp4s)

@@ -67,6 +67,75 @@ def test_align_session_trims_to_common_span(tmp_path):
     assert alignment.align_session(str(session), str(out)) is None
 
 
+def test_load_m4a_decodes_and_decimates():
+    """Reference load_m4a rule (data_alignment.py:44-53): int16 scale,
+    keep every other sample, half the native rate."""
+    pcm = np.arange(-8, 8, dtype="<i2")
+
+    def decoder(cmd):
+        if cmd[0] == "ffprobe":
+            return b"32000\n"
+        assert cmd[0] == "ffmpeg" and "s16le" in cmd
+        return pcm.tobytes()
+
+    wav, sr = alignment.load_m4a("/fake/session.m4a", decoder=decoder)
+    assert sr == 16000
+    np.testing.assert_allclose(wav, pcm[::2].astype(np.float32) / 32768.0)
+
+
+def test_align_session_m4a_mix_and_video_trim(tmp_path):
+    """Full reference alignment parity: the session mix arrives as .m4a
+    (no pair.wav), a movie sits alongside, planted shifts recovered, the
+    movie trimmed over the aligned span (data_alignment.py:240-287)."""
+    rng = np.random.default_rng(7)
+    comp = _noise_burst_wave(rng)
+    host = _noise_burst_wave(np.random.default_rng(8))
+    mix = (comp + host) * 0.5
+    session = tmp_path / "s1"
+    session.mkdir()
+    write_wav(
+        str(session / "comp.wav"),
+        np.concatenate([np.zeros(3200, np.float32), comp])[None], SR,
+    )
+    write_wav(str(session / "host.wav"), host[1600:][None], SR)
+    (session / "session.m4a").write_bytes(b"not a real m4a")
+    (session / "movie.mp4").write_bytes(b"not a real mp4")
+
+    # fake ffmpeg decoder: emits the mix as s16le at 2x rate so the [::2]
+    # decimation lands back on the 16 kHz grid
+    pcm2x = (
+        np.repeat(np.clip(mix, -1, 1), 2) * 32767
+    ).astype("<i2")
+
+    def decoder(cmd):
+        return b"32000\n" if cmd[0] == "ffprobe" else pcm2x.tobytes()
+
+    trims = []
+
+    def video_runner(cmd, check):
+        trims.append(cmd)
+
+    out = tmp_path / "aligned" / "s1"
+    shifts = alignment.align_session(
+        str(session), str(out), decoder=decoder, video_runner=video_runner
+    )
+    assert abs(shifts["comp"] - 3200) <= 1
+    assert abs(shifts["host"] + 1600) <= 1
+    c, _ = read_wav(str(out / "comp.wav"))
+    m, _ = read_wav(str(out / "pair.wav"))
+    assert c.shape == m.shape
+    # the movie trim ran once over the aligned span
+    (cmd,) = trims
+    assert cmd[cmd.index("-i") + 1] == str(session / "movie.mp4")
+    assert cmd[-1] == str(out / "movie.mp4")
+    with open(out / "alignment.json") as f:
+        meta = json.load(f)
+    start_s = float(cmd[cmd.index("-ss") + 1])
+    stop_s = float(cmd[cmd.index("-to") + 1])
+    assert abs(start_s - meta["start_mix"] / SR) < 1e-6
+    assert abs(stop_s - (meta["start_mix"] + meta["span"]) / SR) < 1e-6
+
+
 def _head_dir(tmp_path, who="comp", frames=260, gap=(100, 105), long_gap=None):
     rng = np.random.default_rng(3)
     d = tmp_path / who

@@ -6,6 +6,7 @@ LSTM model exactly, for the metaformer because the KV caches reproduce
 the rectangular causal mask's visibility frontier.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,8 @@ from multimodalreactiongeneration_tpu.train.losses import mse
 from tests.test_streaming_models import LWS_CFG, MF_CFG
 
 
+
+pytestmark = pytest.mark.slow
 def _batch(key, T=6, lead=2, ratio=8, B=2):
     ks = jax.random.split(key, 7)
     return (

@@ -21,6 +21,8 @@ from multimodalreactiongeneration_tpu.utils.config import from_dict
 from tests.fixtures import AUDIO_CFG, DATA_CFG, MOTION_CFG, make_synthetic_corpus
 from tests.test_streaming_models import LWS_CFG
 
+
+pytestmark = pytest.mark.slow
 OPTIM = from_dict(
     dict(
         use_optimizer="adam",

@@ -109,3 +109,27 @@ def test_video_sources(tmp_path):
     assert len(v2) == 3
     got = np.stack(list(v2))
     np.testing.assert_array_equal(got, frames)
+
+
+def test_visualize_mode_renders_overlay_movie(tmp_path):
+    """visualize=True writes <name>_visualized.mp4 with one frame per
+    processed frame (reference landmark_estimation.py:115-139)."""
+    from tests.test_video import fake_encoder_cmd
+
+    angles = [(2.0 * i, 0.0, 0.0) for i in range(5)]
+    est = HeadPoseEstimation(
+        fake_landmarker_factory(angles, none_at=(2,)),
+        chunk=3,
+        visualize=True,
+        encoder_cmd=fake_encoder_cmd,
+    )
+    n = est(_video(5), str(tmp_path), "host")
+    assert n == 5
+    movie = tmp_path / "host_visualized.mp4"
+    # every frame (detected or not) lands in the overlay movie as rawvideo
+    raw = movie.read_bytes()
+    assert len(raw) == 5 * 8 * 8 * 3
+    # stream order preserved across the None-frame passthrough: each
+    # source frame carries its index at pixel (0,0,0)
+    frames = np.frombuffer(raw, np.uint8).reshape(5, 8, 8, 3)
+    assert list(frames[:, 0, 0, 0]) == [0, 1, 2, 3, 4]

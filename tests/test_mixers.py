@@ -1,5 +1,6 @@
 """Mixer family: shapes, state threading, KV-cache decode equivalence."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,8 @@ from multimodalreactiongeneration_tpu.nn.mixers import (
 )
 from multimodalreactiongeneration_tpu.ops.masks import rectangular_causal_mask
 
+
+pytestmark = pytest.mark.slow
 KEY = jax.random.PRNGKey(0)
 
 

@@ -79,6 +79,7 @@ def test_gradients_flow():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_metaformer_pallas_impl_matches_xla():
     from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
     from tests.test_streaming_models import MF_CFG

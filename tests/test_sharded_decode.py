@@ -3,6 +3,7 @@
 dialog batch sharded on 'data'; per-dialog state (LSTM carries, KV ring
 buffers) shards along its batch dim automatically."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,8 @@ from multimodalreactiongeneration_tpu.parallel.mesh import (
 from tests.test_streaming_models import MF_CFG
 
 
+
+pytestmark = pytest.mark.slow
 def test_decode_shards_over_mesh():
     mesh = make_mesh()
     assert mesh.devices.size == 8

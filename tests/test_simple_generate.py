@@ -1,5 +1,6 @@
 """SimpleLSTM sliding-window AR engine."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from multimodalreactiongeneration_tpu.models.simple_lstm import SimpleLSTM
 from tests.test_simple_lstm import CFG
 
 
+
+pytestmark = pytest.mark.slow
 def test_audio_windows_shapes_and_alignment():
     fbank = jnp.arange(40, dtype=jnp.float32)[:, None] * jnp.ones((1, 81))
     w = audio_windows(fbank, steps=4, frames_per_step=8, window_frames=16)

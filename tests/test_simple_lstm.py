@@ -1,5 +1,6 @@
 """SimpleLSTM: forward shape, loss semantics, gradient flow."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from multimodalreactiongeneration_tpu.models.simple_lstm import (
     split_and_form,
 )
 
+
+pytestmark = pytest.mark.slow
 CFG = dict(
     acostic_feat_size=81,
     motion_feat_size=18,

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from multimodalreactiongeneration_tpu.infer.streaming import (
     MotionDeltaStream,
@@ -12,6 +13,8 @@ from multimodalreactiongeneration_tpu.ops import dsp
 from tests.test_streaming_models import MF_CFG
 
 
+
+pytestmark = pytest.mark.slow
 def test_incremental_fbank_matches_offline():
     """Chunked feature extraction with the session's left-context rule must
     reproduce the offline whole-signal features."""

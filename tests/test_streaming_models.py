@@ -14,6 +14,8 @@ from multimodalreactiongeneration_tpu.models.lstmformer import (
     context_budgets,
 )
 
+
+pytestmark = pytest.mark.slow
 LWS_CFG = dict(
     sampling_rate=16000,
     shift=160,

@@ -2,6 +2,7 @@
 the reference's module tree (multi_modal_metaformer.py + mixer_block.py
 nesting, intent semantics) -> mapping table -> identical outputs."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -15,6 +16,8 @@ from multimodalreactiongeneration_tpu.ops.masks import (
     merged_attention_mask,
 )
 
+
+pytestmark = pytest.mark.slow
 H = 16
 CFG = dict(
     main_modal_idx=2,

@@ -2,6 +2,7 @@
 module tree (simple_lstm.py:48-188 wiring, intent semantics per PARITY.md
 deviation 7) -> mapping table -> identical outputs."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -14,6 +15,8 @@ from multimodalreactiongeneration_tpu.models.torch_import import (
 from tests.test_simple_lstm import CFG
 
 
+
+pytestmark = pytest.mark.slow
 class RefLSTMLayered(tnn.Module):
     """LSTMLayerd(use_mixing=True, use_residual, use_layer_norm, use_ff)."""
 

@@ -1,5 +1,6 @@
 """Visualization/eval layer: speed.log, rendering, nod plots."""
 
+import pytest
 import os
 
 import jax
@@ -31,6 +32,7 @@ def test_destandardize():
     np.testing.assert_allclose(cen[:, 0], 0.55)
 
 
+@pytest.mark.slow
 def test_speed_log_written(tmp_path):
     model = LSTMwithSample(cfg=LWS_CFG)
     batch = _full_batch(jax.random.PRNGKey(0))
@@ -59,8 +61,35 @@ def test_render_and_nod_plot(tmp_path):
     assert 0.1 < ratio < 10.0
 
 
-def test_head_pose_plotter_image():
-    img = head_pose_plotter(np.array([10.0, -5.0, 0.0]), np.array([0.5, 0.5, 0.0]))
-    assert img.size == (480, 480)
-    arr = np.asarray(img)
-    assert (arr != arr[0, 0]).any()  # something was drawn
+def test_head_pose_plotter_pose_only():
+    frame = np.zeros((480, 480, 3), np.uint8)
+    out = head_pose_plotter(
+        frame,
+        {"face": None, "centroid": np.array([0.5, 0.5, 0.0]),
+         "angle": np.array([10.0, -5.0, 0.0])},
+    )
+    assert out.shape == (480, 480, 3)
+    assert (out != 0).any()  # something was drawn
+    assert (frame == 0).all()  # input frame untouched
+
+
+def test_head_pose_plotter_face_cloud():
+    """Reference visualizer.py:84-123: landmarks re-posed by R.T@face +
+    centroid, out-of-range points skipped, nose heading drawn."""
+    rng = np.random.default_rng(3)
+    face = rng.normal(scale=0.05, size=(20, 3)).astype(np.float32)
+    face[5] = [5.0, 5.0, 0.0]  # re-posed far outside [0,1]: must be skipped
+    frame = np.zeros((200, 200, 3), np.uint8)
+    out = head_pose_plotter(
+        frame,
+        {"face": face, "centroid": np.array([0.5, 0.5, 0.0]),
+         "angle": np.array([0.0, 0.0, 0.0])},
+        clr=(50, 255, 50),
+    )
+    # with identity rotation the cloud lands around the centroid pixel
+    green = (out[..., 1] > 200) & (out[..., 0] < 100)
+    ys, xs = np.nonzero(green)
+    assert len(xs) > 0
+    assert 60 < xs.mean() < 140 and 60 < ys.mean() < 140
+    # nothing drawn near where the outlier would land if it weren't culled
+    assert not green[190:, 190:].any()
