@@ -50,6 +50,19 @@ class SegmentDatasetNX:
     def __len__(self) -> int:
         return len(self.data_list)
 
+    def segment_lengths(self) -> np.ndarray:
+        """Motion frame count per segment, from manifests alone (no
+        feature extraction) — the sort key for length bucketing."""
+        if not hasattr(self, "_seg_lengths"):
+            lengths = np.empty(len(self.data_list), np.int64)
+            for i, p in enumerate(self.data_list):
+                with open(p, "r", encoding="utf-8") as f:
+                    seq = json.loads(f.readline())["self_motion"]["seq"]
+                stride = seq.get("stride", 1)
+                lengths[i] = -(-(seq["end"] - seq["start"]) // stride)
+            self._seg_lengths = lengths
+        return self._seg_lengths
+
     def raw_item(self, index: int):
         """Host-only variant: motion features extracted on host, audio
         returned as RAW sample slices so the loader can run ONE batched
@@ -349,13 +362,19 @@ def pad_collate_device(
 
 
 class BatchLoader:
-    """Minimal epoch iterator: shuffle, batch, collate.
+    """Epoch iterator: shuffle, length-bucket, batch, collate.
 
-    Length-bucketed shuffling: samples are grouped so each batch has
-    similar motion lengths, minimizing padding waste and XLA shape count.
-    ``audio_cfg`` given -> batched-on-device feature extraction (one
-    fused fbank call per batch instead of two device round trips per
-    segment).
+    Length bucketing (bucket_windows > 1): after the epoch shuffle, each
+    window of ``batch_size * bucket_windows`` consecutive samples is
+    sorted by manifest motion length before chunking, and the resulting
+    batch order is re-shuffled. Batches then hold similar lengths, so
+    padding waste drops materially (random batches nearly always pad to
+    the longest sample in the shard) while batch composition still
+    varies per epoch; the distinct-shape count XLA compiles stays
+    bounded by the pad_to_multiple rounding either way (SURVEY §7 hard
+    part 1). ``audio_cfg`` given -> batched-on-device
+    feature extraction (one fused fbank call per batch instead of two
+    device round trips per segment).
     """
 
     def __init__(
@@ -369,6 +388,7 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         audio_cfg=None,
+        bucket_windows: int = 8,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
@@ -379,6 +399,7 @@ class BatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.audio_cfg = audio_cfg
+        self.bucket_windows = bucket_windows
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -387,23 +408,89 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _epoch_batches(self) -> List[np.ndarray]:
         order = self.indices.copy()
+        rng = None
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
             self._epoch += 1
-        for i in range(0, len(order), self.batch_size):
-            chunk = order[i : i + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
+        if self.bucket_windows > 1 and hasattr(
+            self.dataset, "segment_lengths"
+        ):
+            lengths = self.dataset.segment_lengths()
+            window = self.batch_size * self.bucket_windows
+            for i in range(0, len(order), window):
+                sl = order[i : i + window]
+                order[i : i + len(sl)] = sl[np.argsort(lengths[sl],
+                                                       kind="stable")]
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        if rng is not None:
+            rng.shuffle(batches)
+        return batches
+
+    def _collate(self, chunk: np.ndarray) -> Batch:
+        if self.audio_cfg is not None:
+            raws = [self.dataset.raw_item(int(j)) for j in chunk]
+            return pad_collate_device(
+                raws, self.audio_cfg, self.pad_to_multiple, self.ratio
+            )
+        samples = [self.dataset[int(j)] for j in chunk]
+        return pad_collate(samples, self.pad_to_multiple, self.ratio)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for chunk in self._epoch_batches():
+            yield self._collate(chunk)
+
+
+class PrefetchLoader:
+    """Background-thread prefetch over any batch loader.
+
+    The reference overlaps host data work with the device step through
+    DataLoader worker processes (lstmformer/dataloader.py:180-189); here
+    a daemon thread keeps up to ``depth`` collated batches queued ahead
+    of the training loop, so feature extraction and padding run while
+    the device executes the previous step. The wrapped loader is
+    consumed in its natural order — results are identical to iterating
+    it directly.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        if depth < 1:
+            raise ValueError("prefetch depth must be >= 1")
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Batch]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+                q.put(END)
+            except BaseException as exc:  # surfaced on the consumer side
+                q.put(exc)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is END:
                 break
-            if self.audio_cfg is not None:
-                raws = [self.dataset.raw_item(int(j)) for j in chunk]
-                yield pad_collate_device(
-                    raws, self.audio_cfg, self.pad_to_multiple, self.ratio
-                )
-            else:
-                samples = [self.dataset[int(j)] for j in chunk]
-                yield pad_collate(
-                    samples, self.pad_to_multiple, self.ratio
-                )
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()

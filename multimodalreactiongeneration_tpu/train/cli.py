@@ -35,6 +35,7 @@ def make_streaming_loaders(cfg, logger):
     from multimodalreactiongeneration_tpu.data.databuild_nx import DataBuilderNX
     from multimodalreactiongeneration_tpu.data.dataset import (
         BatchLoader,
+        PrefetchLoader,
         SegmentDatasetNX,
         random_split_indices,
     )
@@ -50,11 +51,18 @@ def make_streaming_loaders(cfg, logger):
     )
     pad = cfg.trainer.get("pad_to_multiple", 16)
     bs = cfg.exp.batch_size
-    mk = lambda idx, sh: BatchLoader(
-        dataset, idx, bs, pad_to_multiple=pad, shuffle=sh,
-        seed=cfg.get("seed", 0),
-        audio_cfg=cfg.audio.to_dict(),  # batched-on-device fbank per batch
-    )
+    # prefetch_batches=0 falls back to synchronous in-loop loading
+    depth = int(cfg.trainer.get("prefetch_batches", 2))
+
+    def mk(idx, sh):
+        loader = BatchLoader(
+            dataset, idx, bs, pad_to_multiple=pad, shuffle=sh,
+            seed=cfg.get("seed", 0),
+            audio_cfg=cfg.audio.to_dict(),  # batched-on-device fbank/batch
+            bucket_windows=int(cfg.trainer.get("bucket_windows", 8)),
+        )
+        return PrefetchLoader(loader, depth) if depth > 0 else loader
+
     return mk(tr, True), mk(va, False), mk(te, False), dataset
 
 
