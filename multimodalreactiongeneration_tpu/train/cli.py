@@ -102,6 +102,26 @@ def main(argv=None):
     logger = set_logger(cfg.exp.use_model, cfg.get("log_dir", "log"))
     model_type = cfg.exp.use_model
 
+    # multi-host: join the jax.distributed coordinator when launched by a
+    # pod orchestrator (no-op single process; parallel/distributed.py)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    ) > 1:
+        from multimodalreactiongeneration_tpu.parallel.distributed import (
+            initialize_multihost,
+        )
+
+        initialize_multihost(
+            os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            process_id=int(os.environ["JAX_PROCESS_ID"])
+            if "JAX_PROCESS_ID" in os.environ
+            else None,
+        )
+        logger.info(
+            f"multi-host: process {jax.process_index()} of "
+            f"{jax.process_count()}"
+        )
+
     model = build_model(model_type, cfg.model)
     optimizer = build_optimizer(
         cfg.optim,
