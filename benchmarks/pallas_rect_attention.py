@@ -1,5 +1,16 @@
 """Pallas TPU kernel: rectangular cross-rate causal attention.
 
+DEMOTED FROM THE MODEL PATH (kept as a benchmark/reference kernel): it
+beats the masked-XLA attention ~13.7x standalone at (B128, H4, 256x2048),
+but wired into the metaformer it measured NET-NEUTRAL-TO-NEGATIVE on a
+real v5e — full train step (fwd+bwd, hidden 256 x 5 blocks, lstm
+embeddings) 38.7 ms XLA vs 39.1 ms pallas at B16/T224 and 75.4 vs 80.0 ms
+at B32/T240 (2026-08-16, median-of-slopes timing). Attention is a small
+share of the step at production sizes and the pallas_call boundary
+breaks XLA's fusion of attention with the surrounding projections, which
+costs more than the in-kernel mask saves. Revisit if a model config makes
+cross-attention dominant (mha embeddings at long context).
+
 The metaformer's cross-modal attention uses the rectangular causal rule
 ``key j is masked for query i  <=>  j*Lq >= (i+1)*Lk`` plus a padding
 pair mask (ops/masks.py). The XLA path materializes (B, H, Lq, Lk)

@@ -24,7 +24,6 @@ from flax import linen as nn
 from multimodalreactiongeneration_tpu.nn.metaformer import MultiModalMetaformer
 from multimodalreactiongeneration_tpu.ops.masks import (
     merged_attention_mask,
-    padding_indicator,
     rectangular_causal_mask,
 )
 
@@ -86,7 +85,6 @@ def _layerd_config(mixer_type: str, cfg: dict, num_layerd: int) -> dict:
             kdim=cfg["hidden_size"],
             vdim=cfg["hidden_size"],
             self_attention=True,
-            attention_impl=cfg.get("attention_impl", "xla"),
         )
     return common
 
@@ -181,25 +179,7 @@ class Metaformer(nn.Module):
 
         self_masks = [None, None, None]
         cross_masks = [None, None]
-        # the Pallas rectangular-attention path takes (q_pad, k_pad)
-        # indicator pairs instead of materialized masks; decode/priming
-        # (states given) always uses the XLA mask form
-        use_pallas = (
-            cfg.get("attention_impl", "xla") == "pallas_rect"
-            and states is None
-        )
-        if use_masks and use_pallas:
-            ms_pad = padding_indicator(motion_s)
-            a_pad = padding_indicator(acoustic)
-            mp_pad = padding_indicator(motion_p)
-            cross_masks = [(ms_pad, a_pad), (ms_pad, mp_pad)]
-            if main_type == "mha":
-                self_masks[0] = (ms_pad, ms_pad)
-            if other_types[0] == "mha":
-                self_masks[1] = (a_pad, a_pad)
-            if other_types[1] == "mha":
-                self_masks[2] = (mp_pad, mp_pad)
-        elif use_masks:
+        if use_masks:
             cross_masks = [
                 merged_attention_mask(motion_s, acoustic),
                 merged_attention_mask(motion_s, motion_p),

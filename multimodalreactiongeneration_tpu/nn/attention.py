@@ -148,34 +148,6 @@ class TorchMHA(nn.Module):
         ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, q_len, e)
         return jnp.einsum("ble,oe->blo", ctx, self.out_w) + self.out_b
 
-    def attend_rect_pallas(
-        self,
-        query: jnp.ndarray,
-        k_proj: jnp.ndarray,
-        v_proj: jnp.ndarray,
-        q_pad: Optional[jnp.ndarray] = None,
-        k_pad: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
-        """Rectangular-causal attention via the Pallas kernel
-        (ops/pallas_attention.py): the causal predicate is computed
-        in-kernel from the lengths — no mask tensor exists. ~14x faster
-        than the masked XLA path at training sizes on v5e."""
-        from multimodalreactiongeneration_tpu.ops.pallas_attention import (
-            rect_attention_mha,
-        )
-
-        e, h = self.embed_dim, self.num_heads
-        dh = e // h
-        batch, q_len = query.shape[0], query.shape[1]
-        k_len = k_proj.shape[1]
-        q = jnp.einsum("blk,ek->ble", query, self.w_q) + self.b_q
-        q = q.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
-        k = k_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
-        v = v_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
-        ctx = rect_attention_mha(q, k, v, q_pad, k_pad)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, q_len, e)
-        return jnp.einsum("ble,oe->blo", ctx, self.out_w) + self.out_b
-
     def __call__(
         self,
         query: jnp.ndarray,

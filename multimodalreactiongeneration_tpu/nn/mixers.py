@@ -173,7 +173,6 @@ class MHAMixerBlock(nn.Module):
     residual_layer_norm: bool = False
     bottleneck_size: Optional[int] = None
     use_bias: bool = True
-    attention_impl: str = "xla"  # "xla" | "pallas_rect" (training path only)
 
     @nn.compact
     def __call__(
@@ -181,7 +180,7 @@ class MHAMixerBlock(nn.Module):
         query: jnp.ndarray,
         key: jnp.ndarray,
         value: jnp.ndarray,
-        attn_mask=None,  # bool mask ("xla") or (q_pad, k_pad) ("pallas_rect")
+        attn_mask=None,  # bool mask (True = masked)
         cache: Optional[List[KVCache]] = None,
         *,
         deterministic: bool = True,
@@ -201,13 +200,8 @@ class MHAMixerBlock(nn.Module):
                 name=f"mha_{i}",
             )
             if cache is None:
-                if self.attention_impl == "pallas_rect":
-                    q_pad, k_pad = attn_mask if attn_mask is not None else (None, None)
-                    k_p, v_p = mha.project_kv(key, value)
-                    y_att = mha.attend_rect_pallas(y, k_p, v_p, q_pad, k_pad)
-                else:
-                    y_att = mha(y, key, value, attn_mask,
-                                deterministic=deterministic)
+                y_att = mha(y, key, value, attn_mask,
+                            deterministic=deterministic)
             else:
                 # project only the incoming chunk; the ring buffer holds
                 # projected K/V. attn_mask (if any) covers only the chunk;
@@ -340,7 +334,6 @@ class MHAMixerLayerd(nn.Module):
     residual_layer_norm: bool = False
     bottleneck_size: Optional[int] = None
     use_bias: bool = True
-    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -376,7 +369,6 @@ class MHAMixerLayerd(nn.Module):
                 residual_layer_norm=self.residual_layer_norm,
                 bottleneck_size=self.bottleneck_size,
                 use_bias=self.use_bias,
-                attention_impl=self.attention_impl if cache is None else "xla",
                 name=f"block_{i}",
             )(query, key, value, attn_mask, cache, deterministic=deterministic)
             new_caches.append(new_cache)

@@ -1,5 +1,6 @@
-"""Pallas rectangular attention vs the XLA mask path (interpret mode on
-CPU; the real-TPU run happens in the verify drive / bench)."""
+"""Pallas rectangular attention (benchmarks/pallas_rect_attention.py,
+demoted from the model path — see its docstring) vs the XLA mask path
+(interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,7 +8,7 @@ import numpy as np
 import pytest
 
 from multimodalreactiongeneration_tpu.nn.attention import scaled_dot_attention
-from multimodalreactiongeneration_tpu.ops import pallas_attention as pa
+from benchmarks import pallas_rect_attention as pa
 from multimodalreactiongeneration_tpu.ops.masks import (
     merged_attention_mask,
     rectangular_causal_mask,
@@ -77,28 +78,3 @@ def test_gradients_flow():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
-
-
-@pytest.mark.slow
-def test_metaformer_pallas_impl_matches_xla():
-    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
-    from tests.test_streaming_models import MF_CFG
-
-    cfg_x = dict(MF_CFG)
-    cfg_p = dict(MF_CFG, attention_impl="pallas_rect")
-    m_x, m_p = Metaformer(cfg=cfg_x), Metaformer(cfg=cfg_p)
-
-    T, lead, ratio = 8, 4, 8
-    ks = jax.random.split(jax.random.PRNGKey(9), 6)
-    batch = (
-        jax.random.normal(ks[0], (2, T * ratio, 81)),
-        jax.random.normal(ks[1], (2, T, 18)),
-        jax.random.normal(ks[2], (2, T, 18)),
-        jax.random.normal(ks[3], (2, lead * ratio, 81)),
-        jax.random.normal(ks[4], (2, lead, 18)),
-        jax.random.normal(ks[5], (2, lead, 18)),
-    )
-    params = m_x.init(jax.random.PRNGKey(10), *batch)
-    y_x, _ = m_x.apply(params, *batch)
-    y_p, _ = m_p.apply(params, *batch)  # same params, pallas attention
-    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=5e-4)
