@@ -394,7 +394,15 @@ class DataBuilderNX(DataBuildConfigNX):
     def process_motion(
         self, turn_section: np.ndarray, motion_ignore: np.ndarray
     ) -> Generator[Tuple[Tuple[int, int, int, int], Tuple[int, int, int, int]], None, None]:
-        """Window generator (reference :391-442), indices in video frames."""
+        """Window generator (reference :391-442), indices in video frames.
+
+        TRANSCRIBED, SEMANTICS-BEARING: the offset/stride/margin
+        arithmetic is carried over statement-for-statement from the
+        reference's generator because it DEFINES which windows exist in
+        the dataset — reference-built manifests and ours must agree
+        exactly. Property tests in tests/test_databuild.py pin the
+        window invariants.
+        """
         turns = (turn_section * self.fps).astype(np.int64)
         delta_mergin = self.delta_order * self.pred_shift
         audio_offset = (self.nfft - self.shift) + (self.shift * self.delta_order)

@@ -56,6 +56,13 @@ def detect_utterance_section(
 ) -> Tuple[int, int, int, int]:
     """Merge one speaker's voiced runs into an utterance (reference :51-117).
 
+    TRANSCRIBED, SEMANTICS-BEARING: this recursive two-party state
+    machine is a deliberate near-line transcription of the reference's
+    speech_segmentation.py:51-117 (torch->numpy, renames) because its
+    index arithmetic DEFINES the dataset's turn boundaries — any
+    "improvement" here silently changes every derived segment. Property
+    tests in tests/test_databuild.py pin its invariants.
+
     Walks the "first" speaker's voiced sections, merging across pauses,
     recursing into the interlocutor's stream to test whether a mid-length
     pause contains a real (>= min_length) utterance by the other party.

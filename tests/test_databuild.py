@@ -166,3 +166,115 @@ def test_parallel_launcher():
     out = parallel_launcher(lambda a, b: a * b, [(2, 3), (4, 5)], n_jobs=2,
                             unpack=True)
     assert out == [6, 20]
+
+
+# ---------------------------------------------------------------------------
+# Property tests pinning the TRANSCRIBED, SEMANTICS-BEARING functions
+# (segmentation.detect_utterance_section / collect_utterance_section and
+# DataBuilderNX.process_motion) — their index arithmetic defines the
+# dataset, so invariants are asserted over randomized inputs.
+# ---------------------------------------------------------------------------
+
+
+def _random_runs(rng, n, max_gap=120, max_len=80):
+    """(n, 2) sorted, non-overlapping voiced runs."""
+    starts = np.cumsum(rng.integers(1, max_gap, n))
+    lengths = rng.integers(1, max_len, n)
+    runs = np.stack([starts, starts + lengths], axis=1)
+    return runs.astype(np.int64)
+
+
+def test_detect_utterance_section_properties():
+    from multimodalreactiongeneration_tpu.data.segmentation import (
+        detect_utterance_section,
+    )
+
+    rng = np.random.default_rng(0)
+    fft_rate = 100.0
+    for trial in range(25):
+        a = _random_runs(rng, int(rng.integers(2, 30)))
+        b = _random_runs(rng, int(rng.integers(2, 30)))
+        start, end, nfi, nsi = detect_utterance_section(
+            a, b, 0, 0, fft_rate,
+            pause_with_voice=0.2, pause_without_voice=1.0, min_length=0.6,
+        )
+        # progress is guaranteed and monotone
+        assert nfi >= 1 and nsi >= 0
+        assert nfi <= len(a) and nsi <= len(b)
+        # the utterance is a union of whole voiced runs of speaker A
+        assert start == a[0][0]
+        assert end == a[nfi - 1][1]
+        assert start <= end
+        # merged pauses never reach the hard no-voice threshold
+        for j in range(0, nfi - 1):
+            gap = a[j + 1][0] - a[j][1]
+            assert gap < int(fft_rate * 1.0), (trial, j, gap)
+
+
+def test_collect_utterance_section_properties():
+    from multimodalreactiongeneration_tpu.data.segmentation import (
+        collect_utterance_section,
+    )
+
+    rng = np.random.default_rng(1)
+    fft_rate = 100.0
+    min_length = 0.5
+    for _ in range(15):
+        comp = _random_runs(rng, int(rng.integers(3, 40)))
+        host = _random_runs(rng, int(rng.integers(3, 40)))
+        uc, uh = collect_utterance_section(
+            comp, host, fft_rate, min_length,
+            pause_with_voice=0.2, pause_without_voice=1.0,
+        )
+        for utter, runs in ((uc, comp), (uh, host)):
+            # sorted, non-overlapping, each at least min_length
+            assert (utter[:, 1] - utter[:, 0] >= fft_rate * min_length).all()
+            if len(utter) > 1:
+                assert (utter[1:, 0] >= utter[:-1, 1]).all()
+            # boundaries coincide with real voiced-run endpoints
+            assert set(utter[:, 0]) <= set(runs[:, 0].astype(np.float64))
+            assert set(utter[:, 1]) <= set(runs[:, 1].astype(np.float64))
+
+
+class _BuilderStub:
+    fps = 25.0
+    sample_rate = 16000
+    nfft = 400
+    shift = 160
+    delta_order = 2
+    pred_shift = 2
+    leading_len = 24
+    min_len = 50
+    max_len = 150
+    shift_len = 150
+    target_shift_real = 2
+
+
+def test_process_motion_window_properties():
+    rng = np.random.default_rng(2)
+    stub = _BuilderStub()
+    audio_offset = (stub.nfft - stub.shift) + stub.shift * stub.delta_order
+    delta_mergin = stub.delta_order * stub.pred_shift
+    for _ in range(10):
+        n_frames = int(rng.integers(300, 1200))
+        ignore = (rng.random(n_frames) < 0.02).astype(np.int32)
+        turns = np.sort(rng.uniform(0, n_frames / stub.fps, (3, 2)), axis=1)
+        wins = list(
+            DataBuilderNX.process_motion(stub, turns, ignore)
+        )
+        for (s, e, sl, el), (a_s, a_e, a_sl, a_el) in wins:
+            length = e - (s + delta_mergin)  # pre-margin window length
+            assert stub.min_len - stub.pred_shift <= length <= stub.max_len
+            assert length % stub.pred_shift == 0
+            # lead sits immediately before the window (pre-margin)
+            assert el == s + delta_mergin
+            assert el - (sl + delta_mergin) == stub.leading_len
+            # audio span maps through the sample-rate grid minus the
+            # fbank warmup offset
+            assert a_s == int((s + delta_mergin) * stub.sample_rate / stub.fps) - audio_offset
+            assert a_e == int(e * stub.sample_rate / stub.fps)
+            assert a_el - a_sl > 0
+            # no ignored frames inside the window or its lead
+            assert ignore[s : e + stub.target_shift_real].sum() == 0
+            assert ignore[sl:el].sum() == 0
+            assert sl >= 0 and a_sl >= 0
