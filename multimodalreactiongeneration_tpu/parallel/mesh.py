@@ -6,9 +6,11 @@ lstmformer/config.yaml:121-127) becomes a jax.sharding Mesh with batch
 sharded over a 'data' axis and parameters replicated; XLA inserts the
 gradient psum during jit. Multi-host extends via jax.distributed.
 
-The mesh is 1-D ('data') for parity with the reference's DP-only scaling;
-the helpers accept extra axes so tensor-parallel layouts can be added
-without touching call sites.
+Beyond the reference's DP-only scaling, make_mesh_2d + param_sharding
+give a ('data', 'model') layout: batch rows over 'data', each parameter's
+largest divisible axis over 'model' (Megatron-style weight sharding for
+Dense kernels, ZeRO-like for the rest) with GSPMD propagating the
+activation shardings and inserting the all-gathers/reduce-scatters.
 """
 
 from __future__ import annotations
@@ -28,6 +30,46 @@ def make_mesh(
         devices = devices[:n_devices]
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def make_mesh_2d(
+    data: int,
+    model: int,
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """(data x model) mesh. 'model' should map to the faster interconnect
+    (contiguous devices share an ICI neighborhood), hence it is the
+    minor/fastest-varying axis in the device grid."""
+    devices = list(jax.devices() if devices is None else devices)
+    if len(devices) < data * model:
+        raise ValueError(
+            f"need {data * model} devices for a {data}x{model} mesh, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names)
+
+
+def param_sharding(params, mesh: Mesh, axis: str = "model"):
+    """Shard each leaf's largest ``axis``-divisible dim over ``axis``.
+
+    Dense kernels end up Megatron-style column/row-sharded (whichever dim
+    is larger), LSTM/GRU gate matrices shard their 4H/3H axis, small
+    biases stay replicated. Returns a pytree of NamedShardings aligned
+    with ``params``; apply with jax.device_put / jit in_shardings.
+    """
+    size = mesh.shape[axis]
+
+    def rule(x):
+        spec = [None] * x.ndim
+        for d in sorted(range(x.ndim), key=lambda d: -x.shape[d]):
+            if x.shape[d] >= size and x.shape[d] % size == 0:
+                spec[d] = axis
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(rule, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

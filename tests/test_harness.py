@@ -237,3 +237,60 @@ def test_topk_checkpointer_reseeds_from_existing_dir(tmp_path):
     assert resumed.maybe_save(params, None, epoch=3, val_loss=0.2)
     names = sorted(os.listdir(tmp_path / "ck"))
     assert names == ["V1-0.400000", "V3-0.200000"]
+
+
+def test_2d_mesh_sharded_train_step(loaders):
+    """(data x model) mesh: params sharded on their largest axis over
+    'model', batch over 'data'; loss matches the replicated step."""
+    import jax.numpy as jnp
+
+    from multimodalreactiongeneration_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh_2d,
+        param_sharding,
+    )
+
+    train_loader, _, _ = loaders
+    mesh = make_mesh_2d(2, 4)
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    loader8 = BatchLoader(
+        train_loader.dataset, np.arange(len(train_loader.dataset)),
+        batch_size=8, seed=0,
+    )
+    batch = next(iter(loader8))
+    if batch[0][0].shape[0] < 8:
+        pytest.skip("not enough segments for an 8-row batch")
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    train_step, _ = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    # replicated single-device reference loss
+    st0 = jax.jit(optimizer.init)(params)
+    _, _, ref_loss, _ = jax.jit(train_step)(
+        params, st0, batch, jax.random.PRNGKey(1)
+    )
+
+    pshard = param_sharding(params, mesh)
+    sharded = jax.device_put(params, pshard)
+    # big 2D kernels actually split over 'model'
+    leaves = jax.tree_util.tree_leaves(sharded)
+    assert any(
+        len(x.sharding.device_set) == 8 and x.ndim >= 2 for x in leaves
+    )
+    st = jax.jit(optimizer.init)(sharded)
+    staged = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), batch_sharding(mesh)), batch
+    )
+    p2, _, loss, _ = jax.jit(train_step)(
+        sharded, st, staged, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+    # updated params keep their sharding (no silent full replication)
+    big = [
+        x for x in jax.tree_util.tree_leaves(p2)
+        if x.ndim >= 2 and max(x.shape) % 4 == 0 and max(x.shape) >= 4
+    ]
+    assert any(not x.sharding.is_fully_replicated for x in big)
