@@ -29,17 +29,76 @@ REFERENCE = "/root/reference"
 
 
 def _install_lightning_stub():
+    import torch
     import torch.nn as nn
 
+    class _LightningModule(nn.Module):
+        """Just the surface the reference model code touches."""
+
+        @property
+        def device(self):
+            return torch.device("cpu")
+
+        current_epoch = 0
+
     pl = types.ModuleType("pytorch_lightning")
-    pl.LightningModule = nn.Module
+    pl.LightningModule = _LightningModule
     sys.modules.setdefault("pytorch_lightning", pl)
+    util = types.ModuleType("pytorch_lightning.utilities")
+    util_types = types.ModuleType("pytorch_lightning.utilities.types")
+    util_types.STEP_OUTPUT = object
+    util_types.EVAL_DATALOADERS = object
+    util_types.TRAIN_DATALOADERS = object
+    util.types = util_types
+    sys.modules.setdefault("pytorch_lightning.utilities", util)
+    sys.modules.setdefault("pytorch_lightning.utilities.types", util_types)
+    # torchmetrics is only touched at construction time by the reference's
+    # metric collections; inert stand-ins keep __init__ happy
+    tm = types.ModuleType("torchmetrics")
+
+    class _Metric:
+        def __init__(self, *a, **kw):
+            pass
+
+        def clone(self, *a, **kw):
+            return self
+
+    tm.Metric = _Metric
+    tm.MeanSquaredError = type("MeanSquaredError", (_Metric,), {})
+    tm.MetricCollection = _Metric
+    sys.modules.setdefault("torchmetrics", tm)
+    om = types.ModuleType("omegaconf")
+    om.DictConfig = dict  # used as a type annotation only
+    sys.modules.setdefault("omegaconf", om)
     # bypass mr_gen/__init__.py: it eagerly imports the visualization stack
     # (mediapipe/cv2/moviepy, not installed here); the model subpackage is
     # torch-only and is all this benchmark needs
     pkg = types.ModuleType("mr_gen")
     pkg.__path__ = [os.path.join(REFERENCE, "mr_gen")]
     sys.modules.setdefault("mr_gen", pkg)
+    utils_pkg = types.ModuleType("mr_gen.utils")
+    utils_pkg.__path__ = [os.path.join(REFERENCE, "mr_gen", "utils")]
+    sys.modules.setdefault("mr_gen.utils", utils_pkg)
+    # ...and lstm_with_sampling/__init__.py, which pulls its trainer ->
+    # databuild -> torchaudio chain; only the model module is needed
+    lws_pkg = types.ModuleType("mr_gen.model.lstm_with_sampling")
+    lws_pkg.__path__ = [
+        os.path.join(REFERENCE, "mr_gen", "model", "lstm_with_sampling")
+    ]
+    sys.modules.setdefault("mr_gen.model.lstm_with_sampling", lws_pkg)
+    # the model module only needs the dataloader's PADDING_VALUE constant;
+    # the real dataloader pulls mr_gen.databuild -> torchaudio (absent)
+    lws_dl = types.ModuleType("mr_gen.model.lstm_with_sampling.dataloader")
+    lws_dl.PADDING_VALUE = -100  # dataloader.py:17
+    sys.modules.setdefault(
+        "mr_gen.model.lstm_with_sampling.dataloader", lws_dl
+    )
+
+
+class AttrDict(dict):
+    """omegaconf-DictConfig-enough config object."""
+
+    __getattr__ = dict.__getitem__
 
 
 def build_reference_metaformer(hidden, num_block, heads, bottleneck,
@@ -149,23 +208,57 @@ def reference_forward(model, heads, fbank, motion_p, motion_s, hxs):
     return y, hxs
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--frames", type=int, default=250)
-    ap.add_argument("--lead", type=int, default=12)
-    ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--blocks", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=2)
-    args = ap.parse_args()
+def build_reference_lws():
+    """mr_gen LSTMwithSample at its production config
+    (lstm_with_sampling/config.yaml: hidden 256, bottleneck 64, sampler
+    128x2, layerd 2x1)."""
+    sys.path.insert(0, REFERENCE)
+    _install_lightning_stub()
+    from mr_gen.model.lstm_with_sampling.lstm_with_sample import (
+        LSTMwithSample,
+    )
+
+    model_cfg = AttrDict(
+        max_epochs=60,
+        use_scheduled_sampling=False,
+        loss_type="huber",
+        loss_reduction="mean",
+        pred_fps=12.5,
+        sampling_rate=16000,
+        shift=160,
+        use_centroid=True,
+        use_angle=True,
+        delta_order=2,
+        nmels=26,
+        sampler_hidden_size=128,
+        sampler_num_layers=2,
+        sampler_dropout_rate=0.0,
+        hidden_size=256,
+        bottleneck_size=64,
+        num_layers=2,
+        num_lstm=1,
+        dropout_rate=0.0,
+        use_layer_norm=True,
+        use_relu=True,
+        use_mixing=False,
+        use_residual=True,
+    )
+    metrics_cfg = AttrDict(
+        use_centroid=True, use_angle=True, delta_order=2
+    )
+    model = LSTMwithSample(model_cfg, AttrDict(), metrics_cfg)
+    model.eval()
+    return model
+
+
+def run_metaformer(args):
+    import torch
 
     model = build_reference_metaformer(
         hidden=args.hidden, num_block=args.blocks, heads=4, bottleneck=64,
         num_layerd=1, encoder_num_layer=args.blocks, num_internal_layer=1,
         max_context_len_s=10,
     )
-    import torch
-
     torch.manual_seed(0)
     RATIO = 8
     B, T, L = args.batch, args.frames, args.lead
@@ -188,13 +281,139 @@ def main():
             mp = motion_p[:, step:step + 1]
             prev, hxs = reference_forward(model, 4, fb, mp, prev, hxs)
         best = min(best, time.perf_counter() - t0)
+    return best, f"metaformer-{args.hidden}x{args.blocks}"
 
+
+def run_lws(args):
+    import torch
+
+    model = build_reference_lws()
+    torch.manual_seed(0)
+    RATIO = 8
+    B, T, L = args.batch, args.frames, args.lead
+    lens = torch.full((B,), T, dtype=torch.long)
+    batch = [
+        (torch.randn(B, T * RATIO, 81), lens),
+        (torch.randn(B, T, 18), lens),
+        (torch.randn(B, T, 18), lens),
+        (torch.randn(B, L * RATIO, 81), lens),
+        (torch.randn(B, L, 18), lens),
+        (torch.randn(B, L, 18), lens),
+        (torch.randn(B, T, 18), lens),
+    ]
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            model.prediction(batch, full_generation=True)
+        best = min(best, time.perf_counter() - t0)
+    return best, "lstm_with_sampling-256"
+
+
+def build_reference_simple_lstm():
+    """mr_gen SimpleLSTM at its production config (simple_lstm/config.yaml:
+    hidden 256, lstm 128, att 8x3, decoder 5)."""
+    sys.path.insert(0, REFERENCE)
+    _install_lightning_stub()
+    from mr_gen.model.simple_lstm.simple_lstm import SimpleLSTM
+
+    cfg = AttrDict(
+        acostic_feat_size=81, motion_feat_size=18,
+        motion_num_lstm=1, acostic_num_lstm=1,
+        acostic_num_layers=2, motion_num_layers=2,
+        acostic_lstm_size=128, motion_lstm_size=128,
+        acostic_lstm_out_size=256, motion_lstm_out_size=256,
+        acostic_affine_size=256, motion_affine_size=256,
+        acostic_bottleneck_size=64, motion_bottleneck_size=64,
+        acostic_output_size=256, motion_output_size=256,
+        att_heads=8, att_num_layers=3,
+        att_use_residual=True, att_use_layer_norm=True,
+        dropout_rate=0.0, output_size=18, bidirectional=True,
+        use_layer_norm=True, use_relu=True, use_mixing=True,
+        use_residual=True,
+        decoder_num_layers=5, decoder_num_lstm=1, decoder_lstm_size=128,
+        decoder_affine_size=256, decoder_bottleneck_size=64,
+        decoder_output_size=256, decoder_mapping_size=64,
+        decoder_bidirectional=True, decoder_use_layer_norm=True,
+        decoder_use_relu=True, decoder_use_mixing=True,
+        decoder_use_residual=True,
+        delta_loss_scale=1, all_static=True,
+    )
+    metrics_cfg = AttrDict(use_centroid=True, use_angle=True, delta_order=2)
+    model = SimpleLSTM(cfg, AttrDict(), metrics_cfg)
+    model.eval()
+    return model
+
+
+def run_simple_lstm(args):
+    """model_visualize execution: per generated frame, one forward over
+    the sliding (acoustic window, motion context) pair
+    (model_visualize sliding loop; context_size 15 @ stride 2,
+    config.yaml:143-150 -> audio span 120 fbank frames).
+
+    SimpleLSTM.forward cannot execute as written (it pipes the encoders'
+    (tensor, state) tuples straight into nn.MultiheadAttention —
+    PARITY.md #7), so this drives the same modules with the minimal
+    intent fix: take the tensor half of each encoder output.
+    """
+    import torch
+
+    model = build_reference_simple_lstm()
+
+    def forward(acoustic, motion):
+        a, _ = model.acoustic_encoder.acostic_lstm(
+            model.acoustic_encoder.embed_layer(acoustic)
+        )
+        m, _ = model.motion_encoder.motion_lstm(
+            model.motion_encoder.embed_layer(motion)
+        )
+        att = model.multimodal_att(m, a)
+        y, _ = model.motion_decoder.decoder_lstm(att)
+        return model.motion_decoder.mapping(y[:, -1:, :])
+
+    torch.manual_seed(0)
+    B, T = args.batch, args.frames
+    ctx, a_win = 15, 120
+    acoustic = torch.randn(B, a_win, 81)
+    motion = torch.randn(B, ctx, 18)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            for _step in range(T):
+                y = forward(acoustic, motion)
+                motion = torch.cat([motion[:, 1:], y], dim=1)
+        best = min(best, time.perf_counter() - t0)
+    return best, "simple_lstm-256"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["metaformer", "lws", "simple_lstm"],
+                    default="metaformer")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=250)
+    ap.add_argument("--lead", type=int, default=12)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--blocks", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import torch
+
+    runner = {
+        "metaformer": run_metaformer,
+        "lws": run_lws,
+        "simple_lstm": run_simple_lstm,
+    }[args.model]
+    best, name = runner(args)
+    B, T = args.batch, args.frames
     fps = B * T / best
     print(json.dumps({
         "metric": "reference_cpu_torch_ar_decode_frames_per_sec",
         "value": round(fps, 2),
-        "unit": f"frames/s (batch {B} x {T} frames, metaformer-"
-                f"{args.hidden}x{args.blocks}, reference code on CPU)",
+        "unit": f"frames/s (batch {B} x {T} frames, {name}, "
+                "reference code on CPU)",
         "torch": torch.__version__,
         "cpus": os.cpu_count(),
         "threads": torch.get_num_threads(),
