@@ -202,12 +202,24 @@ def main(argv=None):
             model, model_type, cfg.model.to_dict()
         )
 
+    # trainer.mesh_shape: [data, model] opts into 2D weight sharding
+    # (parallel/mesh.param_sharding); default is the 1-D DP mesh
+    mesh = None
+    mesh_shape = cfg.trainer.get("mesh_shape")
+    if mesh_shape:
+        from multimodalreactiongeneration_tpu.parallel.mesh import (
+            make_mesh_2d,
+        )
+
+        mesh = make_mesh_2d(int(mesh_shape[0]), int(mesh_shape[1]))
+
     trainer = Trainer(
         model,
         train_step,
         eval_step,
         optimizer,
         cfg.optim,
+        mesh=mesh,
         callbacks_cfg=cfg.callbacks.to_dict(),
         log_dir=cfg.get("log_dir", "log"),
         ckpt_dir=os.path.join(cfg.get("ckpt_path", "ckpts"), cfg.name),

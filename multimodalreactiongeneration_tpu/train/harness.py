@@ -299,15 +299,30 @@ class Trainer:
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
 
-        # shardings flow from operand placement: params/opt_state replicated,
-        # batch split on 'data' — XLA inserts the gradient all-reduce.
+        # shardings flow from operand placement: batch split on 'data';
+        # params replicated (pure DP) or largest-axis sharded over a
+        # 'model' mesh axis when one exists — XLA inserts the gradient
+        # all-reduce / weight all-gathers either way.
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step) if eval_step is not None else None
         self._bsh = bsh
         self._rep = rep
+        self._shard_params = (
+            "model" in self.mesh.axis_names
+            and dict(self.mesh.shape)["model"] > 1
+        )
 
         os.makedirs(log_dir, exist_ok=True)
         self._metrics_path = os.path.join(log_dir, "metrics.jsonl")
+
+    def _place_params(self, tree):
+        if self._shard_params:
+            from multimodalreactiongeneration_tpu.parallel.mesh import (
+                param_sharding,
+            )
+
+            return jax.device_put(tree, param_sharding(tree, self.mesh))
+        return jax.device_put(tree, self._rep)
 
     def _stage(self, batch):
         """Host batch -> device, sharded on 'data'. Rows pad to the mesh
@@ -338,9 +353,9 @@ class Trainer:
         init_opt_state=None,
         start_epoch: int = 0,
     ) -> Tuple[Any, FitResult]:
-        params = jax.device_put(params, self._rep)
+        params = self._place_params(params)
         opt_state = (
-            jax.device_put(init_opt_state, self._rep)
+            self._place_params(init_opt_state)
             if init_opt_state is not None
             else jax.jit(self.optimizer.init)(params)
         )

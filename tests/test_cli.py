@@ -197,3 +197,22 @@ def test_eval_cli_renders_all_segments(corpus_nx, tmp_path, monkeypatch):
     mp4s = glob.glob(str(out / "*" / "*.mp4"))
     nods = glob.glob(str(out / "*" / "nod.png"))
     assert len(mp4s) >= 1 and len(nods) == len(mp4s)
+
+
+def test_cli_trains_on_2d_mesh(corpus_nx, tmp_path):
+    """trainer.mesh_shape=[2,4] trains through Trainer with weight
+    sharding over the 'model' axis on the 8-device virtual mesh."""
+    result = _run(
+        "configs/lstm_with_sampling.yaml",
+        corpus_nx,
+        tmp_path,
+        SMALL_STREAMING
+        + [
+            "model.sampler_hidden_size=16",
+            "model.sampler_num_layers=1",
+            "trainer.mesh_shape=[2,4]",
+            "trainer.run_generation_eval=false",
+        ],
+    )
+    assert result.epochs_run == 1
+    assert np.isfinite(result.best_val_loss)
