@@ -415,8 +415,13 @@ class BatchLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
             self._epoch += 1
-        if self.bucket_windows > 1 and hasattr(
-            self.dataset, "segment_lengths"
+        # bucketing only under shuffle: unshuffled iteration (eval) must
+        # keep the given order so consumers can pair batch rows back to
+        # dataset indices (infer/cli.py manifest lookup)
+        if (
+            self.shuffle
+            and self.bucket_windows > 1
+            and hasattr(self.dataset, "segment_lengths")
         ):
             lengths = self.dataset.segment_lengths()
             window = self.batch_size * self.bucket_windows

@@ -83,10 +83,13 @@ def test_bucketing_varies_across_epochs():
     assert e1 != e2
 
 
-def test_no_shuffle_keeps_given_order_when_unbucketed():
-    ds = _StubDataset(np.arange(10))
+def test_no_shuffle_keeps_given_order_even_with_bucketing_enabled():
+    """Eval loaders (shuffle=False) must keep dataset order — consumers
+    pair batch rows back to manifests by index (infer/cli.py). Bucketing
+    is a training (shuffle=True) feature only."""
+    ds = _StubDataset(np.arange(10)[::-1].copy())  # reverse-sorted lengths
     loader = BatchLoader(
-        ds, np.arange(10), batch_size=3, shuffle=False, bucket_windows=1
+        ds, np.arange(10), batch_size=3, shuffle=False, bucket_windows=8
     )
     batches = loader._epoch_batches()
     assert [list(c) for c in batches] == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9]]
