@@ -128,10 +128,26 @@ def time_decode(decode, params, batch, n_small=2, n_large=8, estimates=3):
 # Reference's own CPU-PyTorch code at the identical workload, measured on
 # this box (2026-08-16): 197.11 frames/s, torch 2.13.0+cpu, 1 CPU.
 # Re-derive with `python benchmarks/torch_baseline.py`; see BASELINE.md.
-TORCH_CPU_REFERENCE_FPS = 197.11
+# The recorded workload is asserted in main(): changing BATCH/FRAMES/
+# BENCH_CFG invalidates the denominator, so re-measure and update both.
+TORCH_CPU_REFERENCE = {
+    "fps": 197.11,
+    "batch": 8,
+    "frames": 250,
+    "hidden": 256,
+    "blocks": 5,
+}
 
 
 def main():
+    ref = TORCH_CPU_REFERENCE
+    assert (BATCH, FRAMES) == (ref["batch"], ref["frames"]) and (
+        BENCH_CFG["hidden_size"],
+        BENCH_CFG["num_block"],
+    ) == (ref["hidden"], ref["blocks"]), (
+        "bench workload changed: re-measure the CPU reference with "
+        "benchmarks/torch_baseline.py and update TORCH_CPU_REFERENCE"
+    )
     model = Metaformer(cfg=BENCH_CFG)
     batch = make_batch(jax.random.PRNGKey(0))
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
@@ -147,7 +163,7 @@ def main():
                 "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
                 "value": round(fps_chip, 2),
                 "unit": "frames/s/chip (batch 8 x 250 frames, metaformer-256x5)",
-                "vs_baseline": round(fps_chip / TORCH_CPU_REFERENCE_FPS, 2),
+                "vs_baseline": round(fps_chip / ref["fps"], 2),
             }
         )
     )

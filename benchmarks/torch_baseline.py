@@ -98,7 +98,11 @@ def _install_lightning_stub():
 class AttrDict(dict):
     """omegaconf-DictConfig-enough config object."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:  # getattr/hasattr protocol expects AttributeError
+            raise AttributeError(name) from None
 
 
 def build_reference_metaformer(hidden, num_block, heads, bottleneck,

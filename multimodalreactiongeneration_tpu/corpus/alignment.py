@@ -49,9 +49,12 @@ def load_m4a(
     """
     import shutil
 
-    if decoder is _ffmpeg_pcm and shutil.which("ffmpeg") is None:
+    if decoder is _ffmpeg_pcm and (
+        shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None
+    ):
         raise RuntimeError(
-            "ffmpeg not found on PATH; cannot decode m4a session mixes"
+            "ffmpeg/ffprobe not found on PATH; cannot decode m4a session "
+            "mixes"
         )
     probe = decoder(
         ["ffprobe", "-v", "error", "-select_streams", "a:0",

@@ -140,6 +140,10 @@ class HeadPoseEstimation:
             pending_lms.clear()
             pending_frames.clear()
 
+        # full-res frames buffer alongside landmarks in visualize mode:
+        # bound the chunk so HD input stays tens of MB, not GB
+        chunk = min(self.chunk, 32) if writer is not None else self.chunk
+
         out_index = 0
         for i, frame in enumerate(video):
             if i % stride:
@@ -147,6 +151,11 @@ class HeadPoseEstimation:
             path = _head_path(output_dir, name, out_index)
             if os.path.exists(path) and not self.redo:
                 out_index += 1
+                if writer is not None:
+                    # resumed frames still belong in the overlay movie:
+                    # pass them through raw so the stream stays synced
+                    flush()
+                    writer.write(np.ascontiguousarray(frame[..., :3]))
                 continue
             lm = self.landmarker(frame)
             if lm is None:
@@ -162,7 +171,7 @@ class HeadPoseEstimation:
                 pending_lms.append(lm)
                 if writer is not None:
                     pending_frames.append(np.asarray(frame[..., :3]))
-                if len(pending_idx) >= self.chunk:
+                if len(pending_idx) >= chunk:
                     flush()
             out_index += 1
         flush()
@@ -180,35 +189,19 @@ def _overlay(
     """Raw landmark cloud + heading drawn onto the frame (uint8 RGB).
 
     Equivalent to the reference's head_pose_plotter(frame, face_info)
-    overlay (landmark_estimation.py:134-139): here the raw normalized
-    landmarks ARE the posed cloud, so they are drawn directly and only
-    the heading comes from the estimated pose.
+    overlay (landmark_estimation.py:134-139): the raw normalized
+    landmarks ARE the posed cloud, so the shared plotter is invoked with
+    repose_face=False and only the heading comes from the estimated pose.
     """
-    from PIL import Image, ImageDraw
-
-    img = Image.fromarray(np.ascontiguousarray(frame).astype(np.uint8))
-    draw = ImageDraw.Draw(img)
-    h, w = frame.shape[:2]
-    for x, y, _ in landmarks:
-        if 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0:
-            draw.ellipse(
-                [x * w - 1, y * h - 1, x * w + 1, y * h + 1],
-                outline=(50, 255, 50),
-            )
-    from multimodalreactiongeneration_tpu.ops.rotations import (
-        angles_to_matrix,
+    from multimodalreactiongeneration_tpu.infer.visualize import (
+        head_pose_plotter,
     )
 
-    R = np.asarray(angles_to_matrix(np.asarray(angle, np.float32), "xyz"))
-    heading = (R @ (np.array([0.0, 0.0, 1.0]) * 200.0))[:2]
-    nx, ny = float(landmarks[1][0]), float(landmarks[1][1])
-    if 0.0 <= nx <= 1.0 and 0.0 <= ny <= 1.0:
-        draw.line(
-            [nx * w, ny * h, nx * w + heading[0], ny * h + heading[1]],
-            fill=(50, 50, 255),
-            width=3,
-        )
-    return np.asarray(img)
+    return head_pose_plotter(
+        np.ascontiguousarray(frame).astype(np.uint8),
+        {"face": landmarks, "centroid": centroid, "angle": angle},
+        repose_face=False,
+    )
 
 
 def _head_path(output_dir: str, name: str, idx: int) -> str:

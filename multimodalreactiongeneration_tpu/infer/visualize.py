@@ -77,6 +77,7 @@ def head_pose_plotter(
     head_pose: Optional[Dict[str, np.ndarray]],
     clr: Tuple[int, int, int] = (50, 255, 50),
     clr_sub: Tuple[int, int, int] = (50, 50, 255),
+    repose_face: bool = True,
 ) -> np.ndarray:
     """Draw a posed face landmark cloud + heading vector onto ``frame``.
 
@@ -88,7 +89,10 @@ def head_pose_plotter(
     normalized range are skipped (the mediapipe pixel-coord rule).
     ``head_pose`` is {"face": (N,3) or None, "centroid": (3,),
     "angle": (3,) degrees}; with no face cloud, falls back to a centroid
-    dot so pose-only corpora still render.
+    dot so pose-only corpora still render. ``repose_face=False`` draws
+    the cloud as given (already-posed raw landmarks, e.g. live FaceMesh
+    output in the corpus overlay) while the heading still comes from the
+    estimated angle.
     """
     from PIL import Image, ImageDraw
 
@@ -106,7 +110,9 @@ def head_pose_plotter(
     if face is None:
         nose = centroid[:2]
     else:
-        face = (R.T @ np.asarray(face, np.float32).T).T + centroid
+        face = np.asarray(face, np.float32)
+        if repose_face:
+            face = (R.T @ face.T).T + centroid
         nose = face[1][:2]
     if 0.0 <= nose[0] <= 1.0 and 0.0 <= nose[1] <= 1.0:
         sx, sy = nose[0] * w, nose[1] * h
@@ -230,7 +236,7 @@ def render_segment_video(
             pred_motion, true_motion, stats, face, max_frames
         ):
             writer.write(frame)
-    if wav_path and os.path.exists(wav_path):
+    if writer.frames_written and wav_path and os.path.exists(wav_path):
         patched = output_path.rsplit(".", 1)[0] + "_patched.mp4"
         if seq is not None:
             cat_audio(

@@ -51,17 +51,28 @@ def make_mesh_2d(
     return Mesh(grid, axis_names)
 
 
+_RNN_PARAM_MARKERS = ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
+
+
 def param_sharding(params, mesh: Mesh, axis: str = "model"):
     """Shard each leaf's largest ``axis``-divisible dim over ``axis``.
 
     Dense kernels end up Megatron-style column/row-sharded (whichever dim
-    is larger), LSTM/GRU gate matrices shard their 4H/3H axis, small
-    biases stay replicated. Returns a pytree of NamedShardings aligned
-    with ``params``; apply with jax.device_put / jit in_shardings.
+    is larger); small biases stay replicated. LSTM/GRU gate parameters
+    (weight_ih/weight_hh/bias_*) are KEPT REPLICATED: on TPU the long-
+    sequence recurrence runs through the fused Pallas kernels
+    (ops/pallas_lstm.py / pallas_gru.py), and GSPMD cannot auto-partition
+    a Mosaic custom call's operands — sharding them would force compile
+    failures or implicit full regathers at the kernel boundary. Returns a
+    pytree of NamedShardings aligned with ``params``; apply with
+    jax.device_put / jit in_shardings.
     """
     size = mesh.shape[axis]
 
-    def rule(x):
+    def rule(path, x):
+        names = "/".join(str(getattr(k, "key", k)) for k in path)
+        if any(m in names for m in _RNN_PARAM_MARKERS):
+            return NamedSharding(mesh, P())
         spec = [None] * x.ndim
         for d in sorted(range(x.ndim), key=lambda d: -x.shape[d]):
             if x.shape[d] >= size and x.shape[d] % size == 0:
@@ -69,7 +80,7 @@ def param_sharding(params, mesh: Mesh, axis: str = "model"):
                 break
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

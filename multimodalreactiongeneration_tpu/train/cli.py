@@ -46,6 +46,11 @@ def make_streaming_loaders(cfg, logger):
     tr, va, te = random_split_indices(
         len(dataset), cfg.exp.train_rate, cfg.exp.valid_rate, seed=cfg.get("seed", 0)
     )
+    # multi-host: each process loads only its shard of every split; the
+    # per-host batches assemble into one global batch in Trainer._stage
+    if jax.process_count() > 1:
+        pi, pc = jax.process_index(), jax.process_count()
+        tr, va, te = tr[pi::pc], va[pi::pc], te[pi::pc]
     logger.info(
         f"train size: {len(tr)}, valid size: {len(va)}, test size: {len(te)}"
     )

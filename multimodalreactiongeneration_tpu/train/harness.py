@@ -325,17 +325,23 @@ class Trainer:
         return jax.device_put(tree, self._rep)
 
     def _stage(self, batch):
-        """Host batch -> device, sharded on 'data'. Rows pad to the mesh
-        size with the -100 sentinel (masked out of the loss numerator;
-        the full-tensor-mean denominator grows, same as reference padding)."""
-        n = self.mesh.devices.size
+        """Host batch -> device, sharded on 'data'. Rows pad to the DATA
+        axis size with the -100 sentinel (masked out of the loss
+        numerator; the full-tensor-mean denominator grows, same as
+        reference padding). Multi-host: each process stages its local
+        rows and they assemble into one global batch."""
+        n = dict(self.mesh.shape).get("data", self.mesh.devices.size)
+        procs = jax.process_count()
+        n_local = max(n // procs, 1)
 
         def put(x):
             x = np.asarray(x)
-            rem = (-x.shape[0]) % n
+            rem = (-x.shape[0]) % n_local
             if rem:
                 fill = np.full((rem,) + x.shape[1:], PADDING_VALUE, x.dtype)
                 x = np.concatenate([x, fill], axis=0)
+            if procs > 1:
+                return jax.make_array_from_process_local_data(self._bsh, x)
             return jax.device_put(x, self._bsh)
 
         return jax.tree_util.tree_map(put, batch)
