@@ -256,3 +256,130 @@ def strip_lightning_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     if all(k.startswith("model.") for k in state_dict):
         return {k[len("model."):]: v for k, v in state_dict.items()}
     return state_dict
+
+
+# ---------------------------------------------------------------------------
+# CLI: convert a reference Lightning .ckpt into an orbax checkpoint
+# ---------------------------------------------------------------------------
+
+_IMPORTERS = {
+    "simple_lstm": import_simple_lstm_state_dict,
+    "lstm_with_sampling": import_lws_state_dict,
+    "lstmformer": import_metaformer_state_dict,
+}
+
+
+def convert_checkpoint(
+    model_type: str,
+    model_cfg: Dict[str, Any],
+    state_dict: Dict[str, np.ndarray],
+    out_dir: str,
+    epoch: int = 0,
+) -> Dict[str, Any]:
+    """torch state_dict -> validated flax params -> orbax dir.
+
+    Validates the imported tree against a fresh model init (same leaf
+    paths + shapes) before writing, so silent partial imports fail loudly
+    instead of producing a half-random model.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalreactiongeneration_tpu.models import build_model
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        TopKCheckpointer,
+    )
+
+    state_dict = strip_lightning_prefix(state_dict)
+    params = {"params": _IMPORTERS[model_type](state_dict, model_cfg)}
+
+    model = build_model(model_type, model_cfg)
+    if model_type == "simple_lstm":
+        example = (
+            jnp.zeros((1, 8, model_cfg["acostic_feat_size"])),
+            jnp.zeros((1, 4, model_cfg["motion_feat_size"])),
+        )
+    else:
+        t, lead, ratio = 4, 2, 8
+        nm = (model_cfg["nmels"] + 1) * (model_cfg["delta_order"] + 1)
+        mo = (
+            (int(model_cfg["use_centroid"]) + int(model_cfg["use_angle"]))
+            * 3 * (model_cfg["delta_order"] + 1)
+        )
+        example = (
+            jnp.zeros((1, t * ratio, nm)),
+            jnp.zeros((1, t, mo)),
+            jnp.zeros((1, t, mo)),
+            jnp.zeros((1, lead * ratio, nm)),
+            jnp.zeros((1, lead, mo)),
+            jnp.zeros((1, lead, mo)),
+        )
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *example)
+    )
+
+    def flat(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in path): tuple(
+                np.shape(leaf)
+            )
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+        }
+
+    got, want = flat(params), flat(expected)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    bad = sorted(k for k in set(got) & set(want) if got[k] != want[k])
+    if missing or extra or bad:
+        raise ValueError(
+            "imported checkpoint does not match the model:\n"
+            f"  missing: {missing[:8]}{'...' if len(missing) > 8 else ''}\n"
+            f"  extra:   {extra[:8]}{'...' if len(extra) > 8 else ''}\n"
+            f"  shape mismatches: {bad[:8]}"
+        )
+
+    saver = TopKCheckpointer(out_dir, top_k=1)
+    saver.save_last(params, None, epoch=epoch)
+    return params
+
+
+def main(argv=None):
+    """python -m multimodalreactiongeneration_tpu.models.torch_import \\
+        --config configs/lstmformer.yaml --ckpt ref.ckpt --out ckpts/imported
+
+    Reads a reference PyTorch-Lightning checkpoint (torch.load), maps it
+    onto this framework's parameter tree, validates, and writes an orbax
+    checkpoint usable as model_path=<out>/last by train/infer CLIs.
+    """
+    import argparse
+
+    from multimodalreactiongeneration_tpu.utils.config import load_config
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    import torch
+
+    cfg = load_config(args.config, args.overrides)
+    payload = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload)
+    state_dict = {
+        k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    convert_checkpoint(
+        cfg.exp.use_model,
+        cfg.model.to_dict(),
+        state_dict,
+        args.out,
+        epoch=int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0,
+    )
+    print(f"imported {len(state_dict)} tensors -> {args.out}/last")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ produce identical outputs on the same inputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 from torch import nn as tnn
 
@@ -135,3 +136,55 @@ def test_full_model_import_reproduces_outputs():
         jnp.asarray(ms.numpy()),
     )
     np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """Reference .ckpt file -> orbax dir -> load_checkpoint -> forward.
+
+    Drives the migration CLI path end-to-end with a saved Lightning-style
+    payload (the 'model.'-prefixed state_dict wrapper)."""
+    from multimodalreactiongeneration_tpu.models.torch_import import (
+        convert_checkpoint,
+    )
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    torch.manual_seed(1)
+    t_model = TorchRefLSTMwithSample(CFG)
+    sd = {
+        f"model.{k}": v.detach().numpy()
+        for k, v in t_model.state_dict().items()
+    }
+    out = tmp_path / "imported"
+    convert_checkpoint("lstm_with_sampling", CFG, sd, str(out), epoch=7)
+
+    payload = load_checkpoint(str(out / "last"))
+    assert payload["epoch"] == 7
+    model = LSTMwithSample(cfg=CFG)
+    B, T = 2, 6
+    a = torch.randn(B, T * RATIO, 81)
+    mp = torch.randn(B, T, 18)
+    ms = torch.randn(B, T, 18)
+    with torch.no_grad():
+        t_y = t_model(a, mp, ms)
+    y, _ = model.apply(
+        payload["params"],
+        jnp.asarray(a.numpy()),
+        jnp.asarray(mp.numpy()),
+        jnp.asarray(ms.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
+
+
+def test_convert_checkpoint_rejects_mismatched_model(tmp_path):
+    from multimodalreactiongeneration_tpu.models.torch_import import (
+        convert_checkpoint,
+    )
+
+    torch.manual_seed(2)
+    t_model = TorchRefLSTMwithSample(CFG)
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    wrong = dict(CFG, hidden_size=32)  # shapes won't line up
+    with pytest.raises(ValueError, match="does not match"):
+        convert_checkpoint("lstm_with_sampling", wrong, sd, str(tmp_path / "x"))
