@@ -56,10 +56,11 @@ def main(argv=None):
     builder = DataBuilderNX(cfg.data, logger)
     dataset = SegmentDatasetNX(builder.data_site, cfg.motion, cfg.audio)
     assert len(dataset) != 0, "no segments found in the eval corpus"
+    batch_size = int(cfg.get("eval_batch_size", 8))
     loader = BatchLoader(
         dataset,
         np.arange(len(dataset)),
-        batch_size=cfg.get("eval_batch_size", 8),
+        batch_size=batch_size,
         pad_to_multiple=cfg.trainer.get("pad_to_multiple", 16),
         shuffle=False,
     )
@@ -98,7 +99,6 @@ def main(argv=None):
 
     use_video = have_ffmpeg() and not cfg.get("render_png_only", False)
     max_frames = cfg.get("max_render_frames")
-    batch_size = int(cfg.get("eval_batch_size", 8))
     data_fps = float(cfg.data.get("fps", 25.0))
     pred_fps = float(cfg.model.get("pred_fps", 12.5))
     n_frames, ratios = 0, []

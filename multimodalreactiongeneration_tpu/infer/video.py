@@ -115,6 +115,13 @@ class FfmpegVideoWriter:
         self.close()
 
 
+def _run_ffmpeg(args: List[str], runner: Callable, what: str) -> None:
+    """Invoke ffmpeg through ``runner`` with a clean missing-binary error."""
+    if runner is subprocess.run and not have_ffmpeg():
+        raise RuntimeError(f"ffmpeg not found on PATH; cannot {what}")
+    runner(["ffmpeg", "-y", "-loglevel", "error"] + args, check=True)
+
+
 def patch_audio(
     out_path: str,
     video_path: str,
@@ -126,13 +133,8 @@ def patch_audio(
     Stream-copies the video (no re-encode) and encodes the audio to AAC;
     ``-shortest`` clips to the shorter stream like moviepy's set_audio.
     """
-    if runner is subprocess.run and not have_ffmpeg():
-        raise RuntimeError("ffmpeg not found on PATH; cannot mux audio")
-    runner(
+    _run_ffmpeg(
         [
-            "ffmpeg",
-            "-y",
-            "-loglevel", "error",
             "-i", video_path,
             "-i", audio_path,
             "-c:v", "copy",
@@ -140,7 +142,8 @@ def patch_audio(
             "-shortest",
             out_path,
         ],
-        check=True,
+        runner,
+        "mux audio",
     )
 
 
@@ -158,13 +161,8 @@ def trim_video(
     data_alignment.py:269-287); re-encoding with an output-side -ss/-to
     gives the same frame-accurate result in one process.
     """
-    if runner is subprocess.run and not have_ffmpeg():
-        raise RuntimeError("ffmpeg not found on PATH; cannot trim video")
-    runner(
+    _run_ffmpeg(
         [
-            "ffmpeg",
-            "-y",
-            "-loglevel", "error",
             "-i", in_path,
             "-ss", f"{start_s:.6f}",
             "-to", f"{stop_s:.6f}",
@@ -173,7 +171,8 @@ def trim_video(
             "-an",
             out_path,
         ],
-        check=True,
+        runner,
+        "trim video",
     )
 
 
