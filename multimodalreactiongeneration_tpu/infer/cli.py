@@ -30,6 +30,7 @@ from multimodalreactiongeneration_tpu.infer.visualize import (
     nod_pitch_plot,
     render_comparison,
     render_segment_video,
+    save_pose_strips,
 )
 from multimodalreactiongeneration_tpu.models import build_model
 from multimodalreactiongeneration_tpu.train.checkpoint import load_checkpoint
@@ -151,6 +152,9 @@ def main(argv=None):
                     max_frames=max_frames,
                     face=face,
                 )
+            save_pose_strips(
+                pred, true, stats, os.path.join(output_dir, seg), face=face
+            )
             ratios.append(
                 nod_pitch_plot(
                     pred,

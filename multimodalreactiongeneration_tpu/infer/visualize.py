@@ -168,6 +168,60 @@ def comparison_frames(
         yield np.concatenate([left, right], axis=1)
 
 
+def pose_strips(
+    motion: np.ndarray,
+    stats: Dict[str, np.ndarray],
+    face: Optional[np.ndarray] = None,
+    color=(60, 160, 255),
+    size: Tuple[int, int] = (480, 480),
+    every: int = 3,
+    per_strip: int = 8,
+) -> List[np.ndarray]:
+    """Static pose thumbnails -> horizontal strips (reference
+    record_statics, visualize_metaformer.py:152-166 + 299-307): every
+    ``every``-th frame is rendered with the centroid x pinned to 0.5
+    (centered), the middle third cropped, and ``per_strip`` tiles
+    concatenated per strip image."""
+    ang, cen = destandardize(motion, stats)
+    q = size[0] // 3
+    tiles = []
+    for i in range(len(ang)):
+        if (i + 1) % every:
+            continue
+        c = np.array(cen[i], np.float32)
+        c[0] = 0.5  # center
+        board = _pose_panel(ang[i], c, face, size, color)
+        tiles.append(board[q:-q, q:-q])
+    return [
+        np.concatenate(tiles[i : i + per_strip], axis=1)
+        for i in range(0, len(tiles), per_strip)
+    ]
+
+
+def save_pose_strips(
+    pred_motion: np.ndarray,
+    true_motion: np.ndarray,
+    stats: Dict[str, np.ndarray],
+    output_dir: str,
+    face: Optional[np.ndarray] = None,
+) -> int:
+    """static_{k}.png (prediction) + t_static_{k}.png (ground truth)."""
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    n = 0
+    for prefix, motion, color in (
+        ("static", pred_motion, (50, 255, 50)),
+        ("t_static", true_motion, (170, 170, 170)),
+    ):
+        for k, strip in enumerate(pose_strips(motion, stats, face, color)):
+            Image.fromarray(strip).save(
+                os.path.join(output_dir, f"{prefix}_{k}.png")
+            )
+            n += 1
+    return n
+
+
 def render_comparison(
     pred_motion: np.ndarray,
     true_motion: np.ndarray,

@@ -93,3 +93,26 @@ def test_head_pose_plotter_face_cloud():
     assert 60 < xs.mean() < 140 and 60 < ys.mean() < 140
     # nothing drawn near where the outlier would land if it weren't culled
     assert not green[190:, 190:].any()
+
+
+def test_pose_strips_shapes_and_cadence(tmp_path):
+    """record_statics parity: every 3rd frame, center-cropped middle
+    third, 8 tiles per strip (visualize_metaformer.py:152-166)."""
+    from multimodalreactiongeneration_tpu.infer.visualize import (
+        pose_strips,
+        save_pose_strips,
+    )
+
+    rng = np.random.default_rng(1)
+    motion = rng.normal(size=(30, 18)).astype(np.float32)
+    strips = pose_strips(motion, STATS, size=(90, 90))
+    # 30 frames -> 10 sampled -> strips of 8 + 2
+    assert len(strips) == 2
+    assert strips[0].shape == (30, 8 * 30, 3)  # middle third, 8 tiles
+    assert strips[1].shape == (30, 2 * 30, 3)
+
+    n = save_pose_strips(motion, motion, STATS, str(tmp_path / "seg"))
+    assert n == 4
+    names = sorted(os.listdir(tmp_path / "seg"))
+    assert names == ["static_0.png", "static_1.png",
+                     "t_static_0.png", "t_static_1.png"]
