@@ -129,6 +129,26 @@ def main(argv=None):
             valid = true[:, 0] != -100.0
             pred, true = pred[valid], true[valid]
             wav = manifest["partner_audio"]["path"]
+            # reference side-by-side mode: the PARTNER's movie frame next
+            # to the pose board (gen_head_motion's host/comp swap rule,
+            # visualize_metaformer.py:196-204)
+            source = None
+            src_dir = cfg.get("source_video_dir")
+            if use_video and src_dir:
+                target_path = manifest["self_motion"]["path"]
+                who = os.path.basename(target_path)
+                data_name = os.path.basename(os.path.dirname(target_path))
+                movie = os.path.join(
+                    src_dir,
+                    data_name,
+                    "comp.mp4" if "host" in who else "host.mp4",
+                )
+                if os.path.exists(movie):
+                    from multimodalreactiongeneration_tpu.corpus.video import (
+                        open_video,
+                    )
+
+                    source = open_video(movie)
             if use_video:
                 n_frames += render_segment_video(
                     pred,
@@ -141,6 +161,7 @@ def main(argv=None):
                     pred_fps=pred_fps,
                     face=face,
                     max_frames=max_frames,
+                    source=source,
                 )
             else:
                 n_frames += render_comparison(

@@ -168,6 +168,64 @@ def comparison_frames(
         yield np.concatenate([left, right], axis=1)
 
 
+def frames_at(source, indices: List[int]) -> List[Optional[np.ndarray]]:
+    """Grab specific frame indices from an iterate-only VideoSource.
+
+    One pass, ascending; indices past EOF come back as None."""
+    wanted = {int(i) for i in indices}
+    if not wanted:
+        return []
+    last = max(wanted)
+    got: Dict[int, np.ndarray] = {}
+    for i, frame in enumerate(source):
+        if i in wanted:
+            got[i] = np.ascontiguousarray(
+                np.asarray(frame)[..., :3]
+            ).astype(np.uint8)
+        if i >= last:
+            break
+    return [got.get(int(i)) for i in indices]
+
+
+def composite_frames(
+    pred_motion: np.ndarray,
+    true_motion: np.ndarray,
+    stats: Dict[str, np.ndarray],
+    source_frames: List[Optional[np.ndarray]],
+    face: Optional[np.ndarray] = None,
+    plot_answer: bool = True,
+    max_frames: Optional[int] = None,
+):
+    """Reference composition (visualize_metaformer.py:239-267): the real
+    movie frame on the left, a black board with the GT pose (gray) under
+    the predicted pose (green) on the right. Missing source frames
+    (past EOF) become black panels."""
+    p_ang, p_cen = destandardize(pred_motion, stats)
+    t_ang, t_cen = destandardize(true_motion, stats)
+    n = len(p_ang) if max_frames is None else min(max_frames, len(p_ang))
+    shape = next(
+        (f.shape for f in source_frames if f is not None), (480, 480, 3)
+    )
+    for t in range(n):
+        frame = source_frames[t] if t < len(source_frames) else None
+        if frame is None:
+            frame = np.zeros(shape, np.uint8)
+        board = np.zeros_like(frame)
+        if plot_answer:
+            board = head_pose_plotter(
+                board,
+                {"face": face, "centroid": t_cen[t], "angle": t_ang[t]},
+                clr=(50, 50, 50),
+                clr_sub=(100, 50, 50),
+            )
+        board = head_pose_plotter(
+            board,
+            {"face": face, "centroid": p_cen[t], "angle": p_ang[t]},
+            clr=(50, 255, 50),
+        )
+        yield np.concatenate([frame, board], axis=1)
+
+
 def pose_strips(
     motion: np.ndarray,
     stats: Dict[str, np.ndarray],
@@ -265,6 +323,7 @@ def render_segment_video(
     max_frames: Optional[int] = None,
     encoder_cmd=None,
     runner=None,
+    source=None,
 ) -> int:
     """Render one eval segment to an .mp4 with the dialog audio muxed in.
 
@@ -273,6 +332,9 @@ def render_segment_video(
     sliced over the segment's video-frame span [seq.start, seq.end +
     seq.stride) and muxed alongside. ``seq`` is the manifest's
     self_motion.seq dict; without it the whole wav is muxed.
+    ``source`` (a VideoSource over the partner's movie) switches to the
+    reference's side-by-side composition: real frame | pose board, with
+    movie frames sampled at seq.start + (t+1)*seq.stride.
     Returns the number of frames written.
     """
     import subprocess
@@ -284,11 +346,27 @@ def render_segment_video(
     )
 
     runner = runner or subprocess.run
+    if source is not None and seq is not None:
+        stride = seq.get("stride", 1)
+        n = len(pred_motion) if max_frames is None else min(
+            max_frames, len(pred_motion)
+        )
+        idx = [seq["start"] + (t + 1) * stride for t in range(n)]
+        frames = composite_frames(
+            pred_motion,
+            true_motion,
+            stats,
+            frames_at(source, idx),
+            face,
+            max_frames=max_frames,
+        )
+    else:
+        frames = comparison_frames(
+            pred_motion, true_motion, stats, face, max_frames
+        )
     writer = FfmpegVideoWriter(output_path, pred_fps, encoder_cmd=encoder_cmd)
     with writer:
-        for frame in comparison_frames(
-            pred_motion, true_motion, stats, face, max_frames
-        ):
+        for frame in frames:
             writer.write(frame)
     if writer.frames_written and wav_path and os.path.exists(wav_path):
         patched = output_path.rsplit(".", 1)[0] + "_patched.mp4"

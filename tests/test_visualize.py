@@ -116,3 +116,34 @@ def test_pose_strips_shapes_and_cadence(tmp_path):
     names = sorted(os.listdir(tmp_path / "seg"))
     assert names == ["static_0.png", "static_1.png",
                      "t_static_0.png", "t_static_1.png"]
+
+
+def test_composite_frames_with_source_video(tmp_path):
+    """Reference side-by-side: movie frame | pose board, movie frames
+    sampled at seq.start + (t+1)*stride, EOF frames -> black panels."""
+    from multimodalreactiongeneration_tpu.corpus.video import (
+        ArrayVideoReader,
+    )
+    from multimodalreactiongeneration_tpu.infer.visualize import (
+        composite_frames,
+        frames_at,
+    )
+
+    movie = np.zeros((40, 32, 32, 3), np.uint8)
+    for i in range(40):
+        movie[i, 0, 0, 0] = i  # stamp index
+    src = ArrayVideoReader(movie, fps=25.0)
+    idx = [10 + (t + 1) * 2 for t in range(6)] + [99]  # one past EOF
+    frames = frames_at(src, idx)
+    assert frames[0][0, 0, 0] == 12 and frames[5][0, 0, 0] == 22
+    assert frames[6] is None
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(7, 18)).astype(np.float32)
+    true = rng.normal(size=(7, 18)).astype(np.float32)
+    out = list(composite_frames(pred, true, STATS, frames, face=None))
+    assert len(out) == 7
+    assert out[0].shape == (32, 64, 3)  # movie | board
+    assert out[0][0, 0, 0] == 12  # left half is the real frame
+    assert (out[6][:, :32] == 0).all()  # EOF -> black panel
+    assert (out[0][:, 32:] != 0).any()  # board was drawn
