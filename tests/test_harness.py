@@ -294,3 +294,37 @@ def test_2d_mesh_sharded_train_step(loaders):
         if x.ndim >= 2 and max(x.shape) % 4 == 0 and max(x.shape) >= 4
     ]
     assert any(not x.sharding.is_fully_replicated for x in big)
+
+
+def test_training_is_deterministic(loaders, tmp_path):
+    """SURVEY §5.2: determinism is the race-detection substitute. Two
+    fits from the same seed must produce bit-identical loss history."""
+
+    def one_fit(tag):
+        # fresh loaders: BatchLoader advances its epoch counter per pass,
+        # so reusing the module fixture would change the shuffles
+        _, _, ds = loaders
+        tr, va, _te = random_split_indices(len(ds), 0.5, 0.25, seed=0)
+        train_loader = BatchLoader(ds, tr, batch_size=2, seed=0)
+        val_loader = BatchLoader(ds, va, batch_size=2, seed=0)
+        model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+        batch = next(iter(BatchLoader(ds, tr, batch_size=2, seed=0)))
+        data = [b[0] for b in batch]
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+        optimizer = build_optimizer(OPTIM)
+        train_step, eval_step = streaming_step_fns(
+            model, LWS_MODEL_CFG, MOTION_CFG, optimizer,
+            mask_self_motion_input=False,
+        )
+        trainer = Trainer(
+            model, train_step, eval_step, optimizer, OPTIM,
+            callbacks_cfg=dict(use_checkpoint=False,
+                               use_early_stopping=False),
+            log_dir=str(tmp_path / f"log_{tag}"),
+            seed=123,
+        )
+        _, result = trainer.fit(params, train_loader, val_loader,
+                                max_epochs=2)
+        return [(h["train_loss"], h["val_loss"]) for h in result.history]
+
+    assert one_fit("a") == one_fit("b")
