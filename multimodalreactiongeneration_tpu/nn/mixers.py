@@ -356,6 +356,11 @@ class MHAMixerLayerd(nn.Module):
 
         new_caches = []
         for i in range(self.num_layerd):
+            if self.self_attention and i > 0:
+                # each stacked block self-attends to ITS OWN input, like
+                # the reference's per-block q=k=v (mixer_block.py MHAMixer
+                # forward) — not to the stack's original input
+                key = value = query
             cache = None if caches is None else caches[i]
             query, new_cache = MHAMixerBlock(
                 hidden_size=self.hidden_size,

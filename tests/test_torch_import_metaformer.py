@@ -234,3 +234,90 @@ def test_metaformer_full_import():
         jnp.asarray(ms.numpy()),
     )
     np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=2e-5)
+
+
+class RefMetaformerMhaAudio(RefMetaformer):
+    """Variant with the audio embedding as MHA self-attention blocks
+    (reference emb_mixers audio='mha'); everything else LSTM."""
+
+    def __init__(self):
+        super().__init__()
+        # replace the audio modality's block-0 embedding (modal index 1)
+        blk0 = self.metaformer.metaformer_blocks[0]
+        layerd = tnn.Module()
+        layerd.mixer = tnn.ModuleList(
+            [RefMHAMixerBlock() for _ in range(CFG["encoder_num_layer"])]
+        )
+        blk0.embedding.modal_embeddings[1] = layerd
+
+    def forward(self, main, others, cross_masks, audio_self_mask):
+        mf = self.metaformer
+        main = mf.feature_embedding[0](main)
+        others = [
+            mf.feature_embedding[i + 1](o) for i, o in enumerate(others)
+        ]
+        for b, blk in enumerate(mf.metaformer_blocks):
+            if b == 0:
+                for blkj in blk.embedding.modal_embeddings[0].mixer:
+                    main = blkj(main)
+                new_others = []
+                for m, o in enumerate(others):
+                    layerd = blk.embedding.modal_embeddings[m + 1]
+                    for blkj in layerd.mixer:
+                        if m == 0:  # audio: mha self-attention
+                            o = blkj(o, o, o, audio_self_mask)
+                        else:
+                            o = blkj(o)
+                    new_others.append(o)
+                others = new_others
+            else:
+                for blkj in blk.embedding.modal_embeddings[0].mixer:
+                    main = blkj(main)
+            ys = []
+            for i, integ in enumerate(blk.integrator.integrators):
+                ys.append(
+                    integ.mixer[0](main, others[i], others[i], cross_masks[i])
+                )
+            main = blk.feedforward(
+                blk.integrator.cat_linear(torch.cat(ys, dim=-1))
+            )
+        return mf.output_feedforward(main)
+
+
+def test_metaformer_mha_audio_embedding_import():
+    """Torch golden for the mha-embedding path: same weights, same masks,
+    same outputs (previously only self-consistency tested)."""
+    torch.manual_seed(3)
+    t_model = RefMetaformerMhaAudio()
+    B, T = 2, 4
+    a = torch.randn(B, T * RATIO, 81)
+    mp = torch.randn(B, T, 18)
+    ms = torch.randn(B, T, 18)
+
+    ma = np.asarray(merged_attention_mask(ms.numpy(), a.numpy()))
+    mm = np.asarray(merged_attention_mask(ms.numpy(), mp.numpy()))
+    aa = np.asarray(merged_attention_mask(a.numpy(), a.numpy()))
+
+    def to_torch_mask(m):
+        t = torch.from_numpy(m)[:, None].repeat(1, CFG["num_heads"], 1, 1)
+        return t.reshape(-1, m.shape[1], m.shape[2])
+
+    with torch.no_grad():
+        t_y = t_model(
+            ms, [a, mp],
+            [to_torch_mask(ma), to_torch_mask(mm)],
+            to_torch_mask(aa),
+        )
+
+    cfg = dict(CFG, emb_mixers=["mha", "lstm", "lstm"])
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    params = {"params": import_metaformer_state_dict(sd, cfg)}
+
+    model = Metaformer(cfg=cfg)
+    y, _ = model.apply(
+        params,
+        jnp.asarray(a.numpy()),
+        jnp.asarray(mp.numpy()),
+        jnp.asarray(ms.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=3e-5)
