@@ -321,3 +321,43 @@ def test_metaformer_mha_audio_embedding_import():
         jnp.asarray(ms.numpy()),
     )
     np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=3e-5)
+
+
+def test_metaformer_gru_embedding_import():
+    """Torch golden for gru embeddings (configs/lstmformer_gru.yaml
+    path): swap every embedding LSTM for nn.GRU, same wiring."""
+    torch.manual_seed(4)
+    t_model = RefMetaformer()
+    # replace each embedding mixer's LSTM with a GRU in place
+    for blk in t_model.metaformer.metaformer_blocks:
+        for layerd in blk.embedding.modal_embeddings:
+            for mixer_block in layerd.mixer:
+                mixer_block.mixer.module.mixer = tnn.GRU(
+                    H, H, batch_first=True
+                )
+
+    B, T = 2, 4
+    a = torch.randn(B, T * RATIO, 81)
+    mp = torch.randn(B, T, 18)
+    ms = torch.randn(B, T, 18)
+    ma = np.asarray(merged_attention_mask(ms.numpy(), a.numpy()))
+    mm = np.asarray(merged_attention_mask(ms.numpy(), mp.numpy()))
+
+    def to_torch_mask(m):
+        t = torch.from_numpy(m)[:, None].repeat(1, CFG["num_heads"], 1, 1)
+        return t.reshape(-1, m.shape[1], m.shape[2])
+
+    with torch.no_grad():
+        t_y = t_model(ms, [a, mp], [to_torch_mask(ma), to_torch_mask(mm)])
+
+    cfg = dict(CFG, emb_mixers=["gru", "gru", "gru"])
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    params = {"params": import_metaformer_state_dict(sd, cfg)}
+    model = Metaformer(cfg=cfg)
+    y, _ = model.apply(
+        params,
+        jnp.asarray(a.numpy()),
+        jnp.asarray(mp.numpy()),
+        jnp.asarray(ms.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=3e-5)
