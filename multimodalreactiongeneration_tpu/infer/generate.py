@@ -208,11 +208,12 @@ def generate_metaformer(
 ) -> jnp.ndarray:
     """Rollout for the Metaformer with KV ring-buffer caches.
 
-    cache_dtype=bfloat16 halves the decode's dominant HBM traffic (the
-    per-step K/V buffer reads; f32 23.2k -> bf16 33.8k frames/s/chip on
-    v5e); attention still accumulates in f32. Per-step error ~1 percent
-    relative (teacher-forced); free-run rollouts amplify any perturbation
-    through the feedback loop, so keep f32 for strict-parity evals.
+    cache_dtype=bfloat16 halves the K/V buffer HBM traffic; at unroll=1
+    that was the bottleneck (f32 23.2k -> bf16 33.8k frames/s/chip on
+    v5e) but at the default unroll=5 the reads overlap compute and bf16
+    measures NEUTRAL (30.7k vs 30.5k), so f32 — which keeps free-run
+    rollouts bit-stable — is the right default. Attention accumulates in
+    f32 either way.
 
     unroll=5 replicates the scan body so XLA overlaps the per-step
     scheduling with compute: 23.1k -> 36.8k frames/s/chip on v5e at the
