@@ -19,6 +19,7 @@ State convention: ``hx`` is (h, c) for LSTM, h for GRU, shaped like torch's
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import math
@@ -28,6 +29,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 LSTMState = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def resolve_impl(impl: str, seq_len: int) -> str:
+    """Resolve "auto" to a concrete recurrence implementation.
+
+    Order: explicit module arg > MRGEN_RNN_IMPL env (deployment escape
+    hatch — e.g. multi-chip GSPMD cannot auto-partition the Mosaic
+    kernels, so pods sharding activations over 'data' set
+    MRGEN_RNN_IMPL=scan) > backend default (pallas on TPU, scan
+    elsewhere). Decode-sized sequences (< 16 steps) always use scan: the
+    kernel's chunk padding would cost more than it saves.
+    """
+    if impl == "auto":
+        impl = os.environ.get("MRGEN_RNN_IMPL", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas" and seq_len < 16:
+        impl = "scan"
+    return impl
 
 
 def _uniform_init(bound: float):
@@ -126,13 +146,7 @@ class TorchLSTM(nn.Module):
         num_dir = 2 if self.bidirectional else 1
         bound = 1.0 / math.sqrt(self.hidden_size)
         init = _uniform_init(bound)
-        impl = self.impl
-        if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-        if impl == "pallas" and x.shape[1] < 16:
-            # decode-sized sequences: chunk padding would cost more than
-            # the scan; the kernel pays off on long recurrences
-            impl = "scan"
+        impl = resolve_impl(self.impl, x.shape[1])
 
         if hx is None:
             zeros = jnp.zeros(
@@ -236,12 +250,7 @@ class TorchGRU(nn.Module):
         num_dir = 2 if self.bidirectional else 1
         bound = 1.0 / math.sqrt(self.hidden_size)
         init = _uniform_init(bound)
-
-        impl = self.impl
-        if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-        if impl == "pallas" and x.shape[1] < 16:
-            impl = "scan"
+        impl = resolve_impl(self.impl, x.shape[1])
 
         if hx is None:
             hx = jnp.zeros(

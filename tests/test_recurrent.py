@@ -112,3 +112,18 @@ def test_pallas_impl_accepts_bfloat16(cls, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_p, np.float32), np.asarray(y_s, np.float32), atol=3e-2
     )
+
+
+def test_rnn_impl_env_override(monkeypatch):
+    """MRGEN_RNN_IMPL is the deployment escape hatch (e.g. multi-chip
+    GSPMD cannot auto-partition the Mosaic kernels)."""
+    from multimodalreactiongeneration_tpu.nn.recurrent import resolve_impl
+
+    monkeypatch.delenv("MRGEN_RNN_IMPL", raising=False)
+    assert resolve_impl("scan", 100) == "scan"  # explicit arg wins
+    assert resolve_impl("auto", 4) == "scan"  # short seq always scans
+    monkeypatch.setenv("MRGEN_RNN_IMPL", "scan")
+    assert resolve_impl("auto", 100) == "scan"  # env overrides backend
+    assert resolve_impl("pallas", 100) == "pallas"  # but not explicit
+    monkeypatch.setenv("MRGEN_RNN_IMPL", "pallas")
+    assert resolve_impl("auto", 100) == "pallas"
