@@ -218,23 +218,42 @@ def _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn):
     return dxw[:, :t_real], dwhh, dbhh.reshape(g3), dh0
 
 
+# SPMD batch partitioning; see ops/partitioning.py and pallas_lstm.py
+from multimodalreactiongeneration_tpu.ops.partitioning import (  # noqa: E402
+    shard_batch_dim,
+)
+
+_fwd_sharded = shard_batch_dim(
+    _fwd_impl, batch_args=(0, 3), out_is_batched=(True, True),
+    sharding_rule="b t g, h g, g, b h -> b t h, b h",
+)
+_bwd_sharded = shard_batch_dim(
+    _bwd_impl, batch_args=(0, 3, 4, 5, 6),
+    out_is_batched=(True, False, False, True),
+    reduce_outs=(1, 2),
+    sharding_rule=(
+        "b t g, h g, g, b h, b t h, b t h, b h -> b t g, h g, g, b h"
+    ),
+)
+
+
 @jax.custom_vjp
 def gru_recurrence(xw, w_hh_t, b_hh, h0):
     """Fused GRU: xw (B,T,3H) = x @ W_ih^T + b_ih; w_hh_t (H,3H);
     b_hh (3H); h0 (B,H). Returns (ys (B,T,H), h_n)."""
-    ys, hn = _fwd_impl(xw, w_hh_t, b_hh, h0)
+    ys, hn = _fwd_sharded(xw, w_hh_t, b_hh, h0)
     return ys, hn
 
 
 def _vjp_fwd(xw, w_hh_t, b_hh, h0):
-    ys, hn = _fwd_impl(xw, w_hh_t, b_hh, h0)
+    ys, hn = _fwd_sharded(xw, w_hh_t, b_hh, h0)
     return (ys, hn), (xw, w_hh_t, b_hh, h0, ys)
 
 
 def _vjp_bwd(res, cot):
     xw, w_hh_t, b_hh, h0, ys = res
     dys, dhn = cot
-    return _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn)
+    return _bwd_sharded(xw, w_hh_t, b_hh, h0, ys, dys, dhn)
 
 
 gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

@@ -260,6 +260,30 @@ def _bwd_impl(xw, w_hh_t, h0, c0, ys, cs, dys, dhn, dcn):
     return dxw[:, :t_real], dwhh, dh0, dc0
 
 
+# SPMD: each device runs the kernel on its local batch shard; weights
+# replicated; dwhh (a sum over batch) is psum'd in the lowering
+# (ops/partitioning.py). Without this GSPMD cannot place the Mosaic
+# custom call under a sharded mesh.
+from multimodalreactiongeneration_tpu.ops.partitioning import (  # noqa: E402
+    shard_batch_dim,
+)
+
+_fwd_sharded = shard_batch_dim(
+    _fwd_impl, batch_args=(0, 2, 3),
+    out_is_batched=(True, True, True, True),
+    sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h",
+)
+_bwd_sharded = shard_batch_dim(
+    _bwd_impl, batch_args=(0, 2, 3, 4, 5, 6, 7, 8),
+    out_is_batched=(True, False, True, True),
+    reduce_outs=(1,),
+    sharding_rule=(
+        "b t g, h g, b h, b h, b t h, b t h, b t h, b h, b h "
+        "-> b t g, h g, b h, b h"
+    ),
+)
+
+
 @jax.custom_vjp
 def lstm_recurrence(xw, w_hh_t, h0, c0):
     """Fused LSTM over precomputed input projections.
@@ -268,19 +292,19 @@ def lstm_recurrence(xw, w_hh_t, h0, c0):
     w_hh_t: (H, 4H) = W_hh^T      h0, c0: (B, H)
     Returns (ys (B, T, H), (h_n, c_n)).
     """
-    ys, _, hn, cn = _fwd_impl(xw, w_hh_t, h0, c0)
+    ys, _, hn, cn = _fwd_sharded(xw, w_hh_t, h0, c0)
     return ys, (hn, cn)
 
 
 def _vjp_fwd(xw, w_hh_t, h0, c0):
-    ys, cs, hn, cn = _fwd_impl(xw, w_hh_t, h0, c0)
+    ys, cs, hn, cn = _fwd_sharded(xw, w_hh_t, h0, c0)
     return (ys, (hn, cn)), (xw, w_hh_t, h0, c0, ys, cs)
 
 
 def _vjp_bwd(res, cot):
     xw, w_hh_t, h0, c0, ys, cs = res
     dys, (dhn, dcn) = cot
-    dxw, dwhh, dh0, dc0 = _bwd_impl(
+    dxw, dwhh, dh0, dc0 = _bwd_sharded(
         xw, w_hh_t, h0, c0, ys, cs, dys, dhn, dcn
     )
     return dxw, dwhh, dh0, dc0

@@ -1,0 +1,109 @@
+"""Batch-dim SPMD partitioning for the Pallas kernels.
+
+GSPMD cannot auto-partition a Mosaic custom call, so under a multi-chip
+mesh a batch-sharded activation reaching ops/pallas_lstm.py /
+ops/pallas_gru.py would force a compile error or an implicit full
+regather. The kernels ARE embarrassingly parallel over the batch dim,
+though — `shard_batch_dim` wraps them with jax.experimental
+custom_partitioning: each device runs the unmodified kernel on its local
+batch shard, weights stay replicated, and cross-batch reductions (weight
+gradients in the backward kernels) are psum'd over the batch mesh axes
+inside the partitioned lowering.
+
+This is the pjit-native equivalent of wrapping each call site in
+shard_map, done once at the kernel boundary so models never plumb mesh
+objects.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _batch_axis(arg_shapes, batch_args: Sequence[int]):
+    """The mesh axis (or axis tuple) the batch dim is sharded over."""
+    for i in batch_args:
+        sharding = arg_shapes[i].sharding
+        spec = getattr(sharding, "spec", None)
+        if spec and len(spec) > 0 and spec[0] is not None:
+            return spec[0]
+    return None
+
+
+def shard_batch_dim(
+    fn: Callable,
+    batch_args: Sequence[int],
+    out_is_batched: Sequence[bool],
+    reduce_outs: Sequence[int] = (),
+    sharding_rule: str = None,
+):
+    """Wrap ``fn`` so pjit shards it over the batch dimension.
+
+    batch_args: positions of args whose dim 0 is the batch (everything
+    else is treated as replicated — weights/biases).
+    out_is_batched: per flat output, True if its dim 0 is the batch.
+    reduce_outs: flat output positions that are SUMS over the batch
+    (weight grads) — psum'd over the batch axis in the lowering.
+    sharding_rule: einsum-like SdyShardingRule string (required by the
+    Shardy partitioner, e.g. "b t g, h g, b h, b h -> b t h, b h");
+    the shared leading factor must be the batch.
+    """
+    batch_args = tuple(batch_args)
+    out_is_batched = tuple(out_is_batched)
+    reduce_outs = tuple(reduce_outs)
+
+    wrapped = custom_partitioning(fn)
+
+    def _shardings(mesh, arg_shapes, result_shape, axis):
+        def arg_spec(i, shape):
+            nd = len(shape.shape)
+            if axis is not None and i in batch_args:
+                return NamedSharding(mesh, P(axis, *([None] * (nd - 1))))
+            return NamedSharding(mesh, P(*([None] * nd)))
+
+        args = tuple(
+            arg_spec(i, s) for i, s in enumerate(arg_shapes)
+        )
+        flat_res, treedef = jax.tree_util.tree_flatten(result_shape)
+        res = []
+        for j, s in enumerate(flat_res):
+            nd = len(s.shape)
+            if axis is not None and out_is_batched[j]:
+                res.append(NamedSharding(mesh, P(axis, *([None] * (nd - 1)))))
+            else:
+                res.append(NamedSharding(mesh, P(*([None] * nd))))
+        return args, jax.tree_util.tree_unflatten(treedef, res)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes, batch_args)
+        _, res = _shardings(mesh, arg_shapes, result_shape, axis)
+        return res
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes, batch_args)
+        arg_sh, res_sh = _shardings(mesh, arg_shapes, result_shape, axis)
+
+        def lower_fn(*args):
+            out = fn(*args)
+            if axis is not None and reduce_outs:
+                flat, treedef = jax.tree_util.tree_flatten(out)
+                for j in reduce_outs:
+                    flat[j] = jax.lax.psum(flat[j], axis)
+                out = jax.tree_util.tree_unflatten(treedef, flat)
+            return out
+
+        return mesh, lower_fn, res_sh, arg_sh
+
+    kwargs = {}
+    if sharding_rule is not None:
+        kwargs["sharding_rule"] = sharding_rule
+    wrapped.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        **kwargs,
+    )
+    return wrapped

@@ -59,11 +59,11 @@ def param_sharding(params, mesh: Mesh, axis: str = "model"):
 
     Dense kernels end up Megatron-style column/row-sharded (whichever dim
     is larger); small biases stay replicated. LSTM/GRU gate parameters
-    (weight_ih/weight_hh/bias_*) are KEPT REPLICATED: on TPU the long-
-    sequence recurrence runs through the fused Pallas kernels
-    (ops/pallas_lstm.py / pallas_gru.py), and GSPMD cannot auto-partition
-    a Mosaic custom call's operands — sharding them would force compile
-    failures or implicit full regathers at the kernel boundary. Returns a
+    (weight_ih/weight_hh/bias_*) are KEPT REPLICATED: the fused Pallas
+    kernels partition over the BATCH dim only (ops/partitioning.py
+    custom_partitioning — batch-sharded activations flow through them
+    fine), so sharding a gate matrix over 'model' would still force a
+    regather at the kernel boundary. Returns a
     pytree of NamedShardings aligned with ``params``; apply with
     jax.device_put / jit in_shardings.
     """
