@@ -225,3 +225,112 @@ def estimate_and_stamp(
     n = est(video, output_dir, name)
     stamp_statistics(output_dir)
     return n
+
+
+class _HalfVideo(VideoSource):
+    """One participant's half of a side-by-side dialog recording."""
+
+    def __init__(self, inner: VideoSource, side: int):
+        self.inner = inner
+        self.side = side  # 0 = left/comp, 1 = right/host (split_frame)
+        self.fps = inner.fps
+        w, h = inner.size
+        self.size = (w // 2, h)
+
+    def __iter__(self):
+        from multimodalreactiongeneration_tpu.corpus.video import split_frame
+
+        for frame in self.inner:
+            yield split_frame(frame)[self.side]
+
+    def __len__(self):
+        return len(self.inner)
+
+
+def process_corpus(
+    target: str,
+    output: str,
+    est_fps: float = 25.0,
+    redo: bool = False,
+    visualize: str = "none",
+    pnum: int = 1,
+    landmarker: Optional[Landmarker] = None,
+    open_video_fn=None,
+    movie_name: str = "movie.mp4",
+) -> int:
+    """Corpus-level L1 driver (reference video_process.py:27-75 +
+    video_process.sh): for every session's side-by-side movie, split into
+    host (left) / comp (right) streams and estimate head poses into
+    <output>/<session>/{host,comp}_*.head with corpus statistics stamped.
+
+    The reference materializes host.mp4/comp.mp4 first and re-reads them;
+    here the halves are split in-stream (no intermediate encodes).
+    ``visualize``: "none" | "sample" (first session per pnum bucket) |
+    "all" — renders landmark-overlay movies like the reference's flag.
+    Returns total frames estimated.
+    """
+    from multimodalreactiongeneration_tpu.corpus.ops import stamp_statistics
+    from multimodalreactiongeneration_tpu.corpus.video import open_video
+    from multimodalreactiongeneration_tpu.utils.parallel import (
+        parallel_launcher,
+    )
+
+    if visualize not in ("none", "sample", "all"):
+        raise ValueError(
+            f"visualize must be 'all', 'sample' or 'none', not {visualize}"
+        )
+    open_video_fn = open_video_fn or open_video
+    sessions = sorted(
+        d for d in os.listdir(target)
+        if os.path.isfile(os.path.join(target, d, movie_name))
+    )
+
+    def one_session(i: int, session: str) -> int:
+        out_dir = os.path.join(output, session)
+        os.makedirs(out_dir, exist_ok=True)
+        viz = visualize == "all" or (
+            visualize == "sample" and i % max(pnum, 1) == 0
+        )
+        written = 0
+        for side, who in ((0, "comp"), (1, "host")):
+            video = _HalfVideo(
+                open_video_fn(os.path.join(target, session, movie_name)),
+                side,
+            )
+            est = HeadPoseEstimation(
+                landmarker, est_fps, redo=redo, visualize=viz
+            )
+            written += est(video, out_dir, who)
+        stamp_statistics(out_dir)
+        return written
+
+    results = parallel_launcher(
+        one_session, list(enumerate(sessions)), n_jobs=pnum, unpack=True
+    )
+    return sum(results)
+
+
+def main(argv=None):
+    """python -m multimodalreactiongeneration_tpu.corpus.landmarks \\
+        --target raw_corpus/ --output features/ [--est-fps 25] [--redo]
+        [--pnum 8] [--visualize {none,sample,all}]"""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--est-fps", type=float, default=25.0)
+    ap.add_argument("--redo", action="store_true")
+    ap.add_argument("--pnum", type=int, default=1)
+    ap.add_argument("--visualize", default="none",
+                    choices=("none", "sample", "all"))
+    args = ap.parse_args(argv)
+    n = process_corpus(
+        args.target, args.output, args.est_fps, args.redo,
+        args.visualize, args.pnum,
+    )
+    print(f"estimated {n} frames")
+
+
+if __name__ == "__main__":
+    main()

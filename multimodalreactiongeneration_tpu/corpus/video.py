@@ -118,6 +118,9 @@ def open_video(path_or_array, fps: float = 25.0) -> VideoSource:
 
 
 def split_frame(frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Side-by-side dialog frame -> (left=host, right=comp) halves."""
-    left, right = np.split(frame, 2, axis=1)
-    return left, right
+    """Side-by-side dialog frame -> (comp, host) halves.
+
+    Reference _video_div (video_process.py:27-49): the LEFT half is the
+    comp participant, the RIGHT half is the host."""
+    comp, host = np.split(frame, 2, axis=1)
+    return comp, host

@@ -133,3 +133,64 @@ def test_visualize_mode_renders_overlay_movie(tmp_path):
     # source frame carries its index at pixel (0,0,0)
     frames = np.frombuffer(raw, np.uint8).reshape(5, 8, 8, 3)
     assert list(frames[:, 0, 0, 0]) == [0, 1, 2, 3, 4]
+
+
+def test_process_corpus_splits_and_estimates(tmp_path):
+    """Corpus driver (reference video_process.py): per session, the
+    side-by-side movie yields comp (left) and host (right) .head files
+    with statistics stamped; sample-mode overlay movies rendered."""
+    from multimodalreactiongeneration_tpu.corpus.landmarks import (
+        process_corpus,
+    )
+    from multimodalreactiongeneration_tpu.corpus.video import (
+        ArrayVideoReader,
+    )
+    from tests.test_video import fake_encoder_cmd
+
+    corpus = tmp_path / "raw"
+    for s in ("data01", "data02"):
+        (corpus / s).mkdir(parents=True)
+        (corpus / s / "movie.mp4").write_bytes(b"fake")
+
+    # fake reader: 6 side-by-side frames, left half brighter than right
+    frames = np.zeros((6, 8, 16, 3), np.uint8)
+    frames[:, :, :8] = 200  # comp side
+    frames[:, :, 8:] = 40   # host side
+
+    def open_fake(path):
+        return ArrayVideoReader(frames.copy(), fps=25.0)
+
+    calls = []
+
+    def landmarker(frame):
+        calls.append(int(frame[0, 0, 0]))
+        return synthetic_face((5.0, 0.0, 0.0))
+
+    out = tmp_path / "features"
+    import multimodalreactiongeneration_tpu.corpus.landmarks as lm
+
+    orig = lm.HeadPoseEstimation
+
+    class PatchedEst(orig):
+        def __init__(self, *a, **kw):
+            kw.setdefault("encoder_cmd", fake_encoder_cmd)
+            super().__init__(*a, **kw)
+
+    lm.HeadPoseEstimation = PatchedEst
+    try:
+        n = process_corpus(
+            str(corpus), str(out), est_fps=25.0, visualize="sample",
+            pnum=2, landmarker=landmarker, open_video_fn=open_fake,
+        )
+    finally:
+        lm.HeadPoseEstimation = orig
+
+    assert n == 2 * 2 * 6  # 2 sessions x 2 participants x 6 frames
+    # both halves were actually fed (comp bright=200, host dark=40)
+    assert set(calls) == {200, 40}
+    for s in ("data01", "data02"):
+        names = sorted(os.listdir(out / s))
+        assert f"comp_00000.head" in names and f"host_00005.head" in names
+    # sample mode: overlays only for session index 0 (i % pnum == 0)
+    assert (out / "data01" / "comp_visualized.mp4").exists()
+    assert not (out / "data02" / "comp_visualized.mp4").exists()
