@@ -32,7 +32,8 @@ def compute_log_power(
         return np.zeros((0,), np.float32)
     sq = (wave.astype(np.float32) ** 2)
     frames = np.lib.stride_tricks.sliding_window_view(sq, n_fft)[::n_shift]
-    return np.log(frames.sum(axis=-1, dtype=np.float32))
+    with np.errstate(divide="ignore"):  # silent frames -> -inf, unvoiced
+        return np.log(frames.sum(axis=-1, dtype=np.float32))
 
 
 def collect_voiced_section(log_power: np.ndarray, threshold: float) -> np.ndarray:
