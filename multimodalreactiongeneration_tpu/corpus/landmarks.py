@@ -263,12 +263,18 @@ def process_corpus(
     host (left) / comp (right) streams and estimate head poses into
     <output>/<session>/{host,comp}_*.head with corpus statistics stamped.
 
+    Head files land in <output>/<session>/<who>/<who>_NNNNN.head with
+    per-participant statistics — the layout extract_angle_cent's
+    collect_angle_cent consumes.
+
     The reference materializes host.mp4/comp.mp4 first and re-reads them;
     here the halves are split in-stream (no intermediate encodes).
     ``visualize``: "none" | "sample" (first session per pnum bucket) |
     "all" — renders landmark-overlay movies like the reference's flag.
     Returns total frames estimated.
     """
+    import threading
+
     from multimodalreactiongeneration_tpu.corpus.ops import stamp_statistics
     from multimodalreactiongeneration_tpu.corpus.video import open_video
     from multimodalreactiongeneration_tpu.utils.parallel import (
@@ -285,14 +291,23 @@ def process_corpus(
         if os.path.isfile(os.path.join(target, d, movie_name))
     )
 
+    # a caller-supplied detector is shared across worker threads, and
+    # detectors like mediapipe are not thread-safe: serialize its calls
+    # (lazy per-estimator detectors — landmarker=None — stay lock-free)
+    if landmarker is not None and pnum > 1:
+        inner, lock = landmarker, threading.Lock()
+
+        def landmarker(frame, _inner=inner, _lock=lock):  # noqa: F811
+            with _lock:
+                return _inner(frame)
+
     def one_session(i: int, session: str) -> int:
-        out_dir = os.path.join(output, session)
-        os.makedirs(out_dir, exist_ok=True)
         viz = visualize == "all" or (
             visualize == "sample" and i % max(pnum, 1) == 0
         )
         written = 0
         for side, who in ((0, "comp"), (1, "host")):
+            out_who = os.path.join(output, session, who)
             video = _HalfVideo(
                 open_video_fn(os.path.join(target, session, movie_name)),
                 side,
@@ -300,8 +315,8 @@ def process_corpus(
             est = HeadPoseEstimation(
                 landmarker, est_fps, redo=redo, visualize=viz
             )
-            written += est(video, out_dir, who)
-        stamp_statistics(out_dir)
+            written += est(video, out_who, who)
+            stamp_statistics(out_who)
         return written
 
     results = parallel_launcher(

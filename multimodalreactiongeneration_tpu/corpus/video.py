@@ -42,6 +42,9 @@ class ArrayVideoReader(VideoSource):
     def __iter__(self):
         return iter(self.frames)
 
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.frames[idx]
+
     def __len__(self):
         return len(self.frames)
 
@@ -62,6 +65,12 @@ class ImageSequenceReader(VideoSource):
 
             with Image.open(self.files[0]) as im:
                 self.size = im.size
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.files[idx]) as im:
+            return np.asarray(im.convert("RGB"))
 
     def __iter__(self):
         from PIL import Image
@@ -96,12 +105,27 @@ class Cv2VideoReader(VideoSource):
 
     def __iter__(self):
         cap = self._cv2.VideoCapture(self.path)
-        while True:
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame[..., ::-1]  # BGR -> RGB
+        finally:
+            cap.release()
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        """Random access via a cv2 seek (the reference's per-frame
+        `video_reader[i]` pattern, visualize_metaformer.py:287)."""
+        cap = self._cv2.VideoCapture(self.path)
+        try:
+            cap.set(self._cv2.CAP_PROP_POS_FRAMES, int(idx))
             ok, frame = cap.read()
             if not ok:
-                break
-            yield frame[..., ::-1]  # BGR -> RGB
-        cap.release()
+                raise IndexError(f"frame {idx} past EOF of {self.path}")
+            return frame[..., ::-1]
+        finally:
+            cap.release()
 
     def __len__(self):
         return self._count
@@ -121,6 +145,7 @@ def split_frame(frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Side-by-side dialog frame -> (comp, host) halves.
 
     Reference _video_div (video_process.py:27-49): the LEFT half is the
-    comp participant, the RIGHT half is the host."""
-    comp, host = np.split(frame, 2, axis=1)
-    return comp, host
+    comp participant, the RIGHT half is the host; odd widths drop the
+    middle column like the reference's [0:half] / [-half:] slicing."""
+    half = frame.shape[1] // 2
+    return frame[:, :half], frame[:, -half:]

@@ -169,9 +169,24 @@ def comparison_frames(
 
 
 def frames_at(source, indices: List[int]) -> List[Optional[np.ndarray]]:
-    """Grab specific frame indices from an iterate-only VideoSource.
+    """Grab specific frame indices from a VideoSource.
 
-    One pass, ascending; indices past EOF come back as None."""
+    Random access (``source[i]``) when the reader supports it — the
+    reference seeks per frame (visualize_metaformer.py:287) and a seek
+    beats decoding an hour-long movie from frame 0 for every segment;
+    otherwise one ascending pass. Indices past EOF come back as None."""
+
+    def clean(frame):
+        return np.ascontiguousarray(np.asarray(frame)[..., :3]).astype(
+            np.uint8
+        )
+
+    if hasattr(source, "__getitem__"):
+        n = len(source)
+        return [
+            clean(source[int(i)]) if 0 <= int(i) < n else None
+            for i in indices
+        ]
     wanted = {int(i) for i in indices}
     if not wanted:
         return []
@@ -179,9 +194,7 @@ def frames_at(source, indices: List[int]) -> List[Optional[np.ndarray]]:
     got: Dict[int, np.ndarray] = {}
     for i, frame in enumerate(source):
         if i in wanted:
-            got[i] = np.ascontiguousarray(
-                np.asarray(frame)[..., :3]
-            ).astype(np.uint8)
+            got[i] = clean(frame)
         if i >= last:
             break
     return [got.get(int(i)) for i in indices]

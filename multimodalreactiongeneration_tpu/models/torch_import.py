@@ -300,7 +300,12 @@ def convert_checkpoint(
             jnp.zeros((1, 4, model_cfg["motion_feat_size"])),
         )
     else:
-        t, lead, ratio = 4, 2, 8
+        t, lead = 4, 2
+        ratio = int(
+            model_cfg["sampling_rate"]
+            / model_cfg["shift"]
+            / model_cfg["pred_fps"]
+        )
         nm = (model_cfg["nmels"] + 1) * (model_cfg["delta_order"] + 1)
         mo = (
             (int(model_cfg["use_centroid"]) + int(model_cfg["use_angle"]))

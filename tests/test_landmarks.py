@@ -189,8 +189,57 @@ def test_process_corpus_splits_and_estimates(tmp_path):
     # both halves were actually fed (comp bright=200, host dark=40)
     assert set(calls) == {200, 40}
     for s in ("data01", "data02"):
-        names = sorted(os.listdir(out / s))
-        assert f"comp_00000.head" in names and f"host_00005.head" in names
+        # the <session>/<who>/ layout extract_angle_cent consumes, with
+        # per-participant statistics stamped
+        comp = sorted(os.listdir(out / s / "comp"))
+        host = sorted(os.listdir(out / s / "host"))
+        assert "comp_00000.head" in comp and "host_00005.head" in host
+        from multimodalreactiongeneration_tpu.data.head_io import (
+            load_head_file,
+        )
+
+        _, f = load_head_file(str(out / s / "comp" / "comp_00000.head"))
+        assert (f.angle_std >= 0).all()
     # sample mode: overlays only for session index 0 (i % pnum == 0)
-    assert (out / "data01" / "comp_visualized.mp4").exists()
-    assert not (out / "data02" / "comp_visualized.mp4").exists()
+    assert (out / "data01" / "comp" / "comp_visualized.mp4").exists()
+    assert not (out / "data02" / "comp" / "comp_visualized.mp4").exists()
+
+
+def test_landmarks_to_extract_pipeline(tmp_path):
+    """The corpus driver's output feeds extract_angle_cent directly:
+    movie -> .head dirs -> npz motion segments (the full L1 pipeline)."""
+    from multimodalreactiongeneration_tpu.corpus.extract_angle_cent import (
+        collect_angle_cent,
+    )
+    from multimodalreactiongeneration_tpu.corpus.landmarks import (
+        process_corpus,
+    )
+    from multimodalreactiongeneration_tpu.corpus.video import (
+        ArrayVideoReader,
+    )
+
+    corpus = tmp_path / "raw"
+    (corpus / "data01").mkdir(parents=True)
+    (corpus / "data01" / "movie.mp4").write_bytes(b"fake")
+    frames = np.zeros((130, 8, 16, 3), np.uint8)
+
+    angles = [(3.0 * (i % 5), 0.0, 0.0) for i in range(130)]
+    n_call = [0]
+
+    def landmarker(frame):
+        lm = synthetic_face(angles[n_call[0] % len(angles)])
+        n_call[0] += 1
+        return lm
+
+    feats = tmp_path / "features"
+    n = process_corpus(
+        str(corpus), str(feats), landmarker=landmarker,
+        open_video_fn=lambda p: ArrayVideoReader(frames.copy(), fps=25.0),
+    )
+    assert n == 2 * 130
+
+    npz_root = tmp_path / "npz"
+    collect_angle_cent(str(feats), str(npz_root))
+    out = sorted(os.listdir(npz_root / "data01"))
+    assert any(f.startswith("comp") and f.endswith(".npz") for f in out)
+    assert any(f.startswith("host") and f.endswith(".npz") for f in out)
