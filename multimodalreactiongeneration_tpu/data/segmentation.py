@@ -12,6 +12,14 @@ Semantics-exact port of the reference's speech segmentation
 This is deliberately host Python (SURVEY.md §7 hard-part #5): the state
 machine is control-flow-heavy and runs once per corpus build. The only
 compute-heavy piece (framewise energy) is vectorized numpy.
+
+NOTE on provenance: ``detect_utterance_section`` and
+``collect_utterance_section`` are TRANSCRIBED from the reference
+(torch->numpy, renames) rather than re-designed — the recursive
+two-party merge/split rules are semantics-bearing: any deviation in the
+index bookkeeping changes which windows exist in the dataset. They are
+pinned by property tests (tests/test_databuild.py) in addition to
+example tests.
 """
 
 from __future__ import annotations

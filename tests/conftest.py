@@ -16,3 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is dominated by compile
+# time (scan/pallas-interpret graphs), so repeat runs drop from minutes
+# to seconds. Keyed by jaxlib version internally; safe to share.
+_cache_dir = os.environ.get(
+    "MRGEN_JAX_CACHE", os.path.expanduser("~/.cache/mrgen-jax-test-cache")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from multimodalreactiongeneration_tpu.corpus.landmarks import (
     HeadPoseEstimation,
@@ -111,6 +112,7 @@ def test_video_sources(tmp_path):
     np.testing.assert_array_equal(got, frames)
 
 
+@pytest.mark.slow
 def test_visualize_mode_renders_overlay_movie(tmp_path):
     """visualize=True writes <name>_visualized.mp4 with one frame per
     processed frame (reference landmark_estimation.py:115-139)."""

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from multimodalreactiongeneration_tpu.nn.attention import scaled_dot_attention
 from benchmarks import pallas_rect_attention as pa
 from multimodalreactiongeneration_tpu.ops.masks import (

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from multimodalreactiongeneration_tpu.nn.recurrent import _lstm_scan
 from multimodalreactiongeneration_tpu.ops import pallas_lstm
 

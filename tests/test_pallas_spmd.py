@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multimodalreactiongeneration_tpu.ops import pallas_gru, pallas_lstm

@@ -83,6 +83,7 @@ def test_lstm_init_shapes():
     assert params["params"]["weight_ih_l1"].shape == (12, 6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cls", [TorchLSTM, TorchGRU])
 def test_pallas_impl_accepts_bfloat16(cls, monkeypatch):
     """bf16 training routes through the f32-only Pallas kernel via casts.

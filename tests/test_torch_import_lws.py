@@ -115,6 +115,7 @@ class TorchRefLSTMwithSample(tnn.Module):
         return x
 
 
+@pytest.mark.slow
 def test_full_model_import_reproduces_outputs():
     torch.manual_seed(0)
     t_model = TorchRefLSTMwithSample(CFG)
@@ -138,6 +139,7 @@ def test_full_model_import_reproduces_outputs():
     np.testing.assert_allclose(np.asarray(y), t_y.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli_roundtrip(tmp_path):
     """Reference .ckpt file -> orbax dir -> load_checkpoint -> forward.
 

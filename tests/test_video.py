@@ -38,6 +38,7 @@ def test_writer_pipes_all_frames(tmp_path):
     assert out.stat().st_size == n * w * h * 3  # every rawvideo byte arrived
 
 
+@pytest.mark.slow
 def test_writer_rejects_bad_frames(tmp_path):
     writer = FfmpegVideoWriter(
         str(tmp_path / "x.mp4"), fps=25, encoder_cmd=fake_encoder_cmd
@@ -98,6 +99,7 @@ def test_cat_audio_slices_segment(tmp_path):
     assert len(calls) == 1 and str(out) == calls[0][-1]
 
 
+@pytest.mark.slow
 def test_render_segment_video_end_to_end(tmp_path):
     from multimodalreactiongeneration_tpu.infer.visualize import (
         render_segment_video,
