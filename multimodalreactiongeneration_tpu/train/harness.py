@@ -436,12 +436,14 @@ class Trainer:
             result.history.append(record)
             result.epochs_run = epoch + 1
 
-            if saver is not None:
+            # no validation batches -> the V monitor never fires (Lightning
+            # ModelCheckpoint semantics); avoids V{epoch}-nan checkpoints
+            if saver is not None and not np.isnan(val_loss):
                 saver.maybe_save(params, opt_state, epoch, val_loss)
             if val_loss < result.best_val_loss:
                 result.best_val_loss = val_loss
                 bad_epochs = 0
-            else:
+            elif not np.isnan(val_loss):
                 bad_epochs += 1
                 if use_early and bad_epochs > patience:
                     break

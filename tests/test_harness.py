@@ -89,6 +89,41 @@ def test_fit_reduces_loss(loaders, tmp_path):
     assert "valid_delta2-centroid" in result.history[0]
 
 
+def test_fit_without_val_batches_skips_v_checkpoints(loaders, tmp_path):
+    """Empty val loader -> val_loss is NaN: the V monitor must not fire
+    (no V{epoch}-nan dirs) and early stopping must not trigger
+    (Lightning ModelCheckpoint/EarlyStopping semantics)."""
+    import os
+
+    train_loader, _, ds = loaders
+    empty_val = BatchLoader(ds, [], batch_size=2, seed=0)
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+
+    optimizer = build_optimizer(OPTIM)
+    train_step, eval_step = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer, mask_self_motion_input=False
+    )
+    trainer = Trainer(
+        model,
+        train_step,
+        eval_step,
+        optimizer,
+        OPTIM,
+        callbacks_cfg=dict(save_top_k=2, use_checkpoint=True,
+                           use_early_stopping=True, patience_epoch=0),
+        log_dir=str(tmp_path / "log"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    params, result = trainer.fit(params, train_loader, empty_val, max_epochs=2)
+    assert result.epochs_run == 2  # NaN val must not early-stop
+    entries = os.listdir(tmp_path / "ckpt")
+    assert "last" in entries
+    assert not any(e.startswith("V") for e in entries)
+
+
 def test_multi_device_mesh_train_step(loaders):
     train_loader, _, _ = loaders
     mesh = make_mesh()  # 8 virtual CPU devices from conftest
