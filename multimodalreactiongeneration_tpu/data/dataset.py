@@ -63,11 +63,17 @@ class SegmentDatasetNX:
             self._seg_lengths = lengths
         return self._seg_lengths
 
-    def raw_item(self, index: int):
+    def raw_item(self, index: int, audio: str = "array"):
         """Host-only variant: motion features extracted on host, audio
         returned as RAW sample slices so the loader can run ONE batched
         device fbank call per batch (databuild-on-device; avoids a device
-        round trip per segment)."""
+        round trip per segment).
+
+        ``audio="spec"`` defers the wav read entirely: audio entries are
+        ``(path, start, n_samples)`` tuples, letting the collate gather a
+        whole batch of slices in ONE native read (utils/native_io.py)
+        instead of 2 Python wav reads per segment.
+        """
         from multimodalreactiongeneration_tpu.utils.wavio import read_wav
 
         with open(self.data_list[index], "r", encoding="utf-8") as f:
@@ -77,6 +83,8 @@ class SegmentDatasetNX:
         off_p, off_s = pm["offset"], sm["offset"]
 
         def slice_wav(seg):
+            if audio == "spec":
+                return (pa["path"], seg["start"], seg["end"] - seg["start"])
             wave, _ = read_wav(
                 pa["path"], seg["start"], seg["end"] - seg["start"]
             )
@@ -336,12 +344,27 @@ def pad_collate_device(
             (frame_budget + params.delta_order - 1) * params.hop
             + params.n_fft
         )
-        wave = np.zeros((len(arrs), samples_needed), np.float32)
-        frame_counts = []
-        for b, a in enumerate(arrs):
-            n = min(len(a), samples_needed)
-            wave[b, :n] = a[:n]
-            frame_counts.append(params.num_output_frames(len(a)))
+        if arrs and isinstance(arrs[0], tuple):
+            # (path, start, n_samples) specs: the whole batch's slices in
+            # ONE native read (falls back to per-slice Python reads)
+            from multimodalreactiongeneration_tpu.utils import native_io
+
+            true_lens = [min(a[2], samples_needed) for a in arrs]
+            wave = native_io.read_batch(
+                [a[0] for a in arrs], [a[1] for a in arrs], samples_needed
+            )
+            # the file continues past each slice's end; zero the tail so
+            # the buffer matches the array path (slice then zero-pad)
+            for b, n in enumerate(true_lens):
+                wave[b, n:] = 0.0
+            frame_counts = [params.num_output_frames(a[2]) for a in arrs]
+        else:
+            wave = np.zeros((len(arrs), samples_needed), np.float32)
+            frame_counts = []
+            for b, a in enumerate(arrs):
+                n = min(len(a), samples_needed)
+                wave[b, :n] = a[:n]
+                frame_counts.append(params.num_output_frames(len(a)))
         feats = np.array(dsp.batched_logmel_with_power(wave, params))
         # pad region -> sentinel, matching per-sample extraction + padding
         for b, count in enumerate(frame_counts):
@@ -441,7 +464,9 @@ class BatchLoader:
 
     def _collate(self, chunk: np.ndarray) -> Batch:
         if self.audio_cfg is not None:
-            raws = [self.dataset.raw_item(int(j)) for j in chunk]
+            raws = [
+                self.dataset.raw_item(int(j), audio="spec") for j in chunk
+            ]
             return pad_collate_device(
                 raws, self.audio_cfg, self.pad_to_multiple, self.ratio
             )

@@ -156,6 +156,32 @@ def test_device_batched_collate_matches_host(built):
         np.testing.assert_allclose(h[0], d[0], atol=2e-4), m
 
 
+def test_spec_collate_matches_array_collate(built, monkeypatch):
+    """raw_item(audio='spec') + one native batched read must produce the
+    identical batch as the per-segment array path — with the native
+    library AND with the pure-Python fallback."""
+    from multimodalreactiongeneration_tpu.data.dataset import pad_collate_device
+    from multimodalreactiongeneration_tpu.utils import native_io
+
+    builder, _, _ = built
+    ds = SegmentDatasetNX(builder.data_site, MOTION_CFG, AUDIO_CFG)
+    idx = list(range(min(len(ds), 3)))
+    via_array = pad_collate_device(
+        [ds.raw_item(i) for i in idx], AUDIO_CFG, pad_to_multiple=16, ratio=8
+    )
+    specs = [ds.raw_item(i, audio="spec") for i in idx]
+    assert isinstance(specs[0]["audio_seq"], tuple)
+    for forced_fallback in (False, True):
+        if forced_fallback:
+            monkeypatch.setattr(native_io, "_load", lambda: None)
+        via_spec = pad_collate_device(
+            specs, AUDIO_CFG, pad_to_multiple=16, ratio=8
+        )
+        for h, d in zip(via_array, via_spec):
+            np.testing.assert_array_equal(h[1], d[1])
+            np.testing.assert_array_equal(h[0], d[0])
+
+
 def test_parallel_launcher():
     from multimodalreactiongeneration_tpu.utils.parallel import (
         parallel_launcher,
