@@ -181,6 +181,59 @@ def anomaly_search(root: str, result_path: str) -> None:
             out.write(json.dumps(jdic, ensure_ascii=False) + "\n")
 
 
+def angle_jump_statistics(
+    root: str, threshold: float = 8.0, hist_dir: str | None = None
+):
+    """Frame-to-frame angle-jump statistics per head dir.
+
+    Capability equivalent of the reference's exploratory
+    calc_delta_statistics script (scripts/calc_delta_statistics.py:23-55):
+    for every directory of per-frame ``.head`` pickles, stack the angles
+    of detected frames in index order, compute the Euclidean norm of
+    consecutive differences, and report mean/std plus the frame indices
+    whose jump exceeds ``threshold`` degrees (FaceMesh glitch detector).
+    With ``hist_dir`` set, a 50-bin histogram PNG is saved per dir.
+    Yields one record per head dir.
+    """
+    for dirpath, _, files in os.walk(root):
+        heads = sorted(f for f in files if f.endswith(".head"))
+        if not heads:
+            continue
+        angles, indices = [], []
+        for name in heads:
+            idx, frame = load_head_file(os.path.join(dirpath, name))
+            if frame is not None:
+                angles.append(frame.angle)
+                indices.append(idx)
+        if len(angles) < 2:
+            continue
+        dist = np.linalg.norm(np.diff(np.stack(angles), axis=0), axis=1)
+        jumps = [
+            {"frame": int(indices[i + 1]), "jump_deg": float(d)}
+            for i, d in enumerate(dist)
+            if d > threshold
+        ]
+        if hist_dir:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            os.makedirs(hist_dir, exist_ok=True)
+            plt.hist(dist, bins=50)
+            plt.xlabel("|d angle| per frame (deg)")
+            name = os.path.basename(dirpath.rstrip("/")) or "root"
+            plt.savefig(os.path.join(hist_dir, f"{name}_angle_jumps.png"))
+            plt.clf()
+        yield {
+            "path": dirpath,
+            "frames": len(angles),
+            "jump_mean": float(dist.mean()),
+            "jump_std": float(dist.std()),
+            "outliers": jumps,
+        }
+
+
 def compute_head_statistics(head_dir: str):
     """Mean/std of angle & centroid over detected frames (io.py:88-118)."""
     angles, cents = [], []
@@ -327,6 +380,10 @@ def main(argv=None):
     p.add_argument("--max-misses", type=int, default=400)
     p = sub.add_parser("backfill")
     p.add_argument("--target", required=True)
+    p = sub.add_parser("angle-jumps")
+    p.add_argument("--target", required=True)
+    p.add_argument("--threshold", type=float, default=8.0)
+    p.add_argument("--hist-dir", default=None)
 
     args = parser.parse_args(argv)
     if args.cmd == "rename":
@@ -363,6 +420,11 @@ def main(argv=None):
             args.target, args.report, args.output, args.max_misses
         )
         print(f"quarantined {len(moved)} sessions")
+    elif args.cmd == "angle-jumps":
+        for rec in angle_jump_statistics(
+            args.target, args.threshold, args.hist_dir
+        ):
+            print(json.dumps(rec))
     elif args.cmd == "backfill":
         for dirpath, _, files in os.walk(args.target):
             if any(f.endswith(".head") for f in files):

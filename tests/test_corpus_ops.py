@@ -236,6 +236,30 @@ def test_anomaly_and_statistics(tmp_path):
     np.testing.assert_allclose(frame.angle_mean, a_mean)
 
 
+def test_angle_jump_statistics_flags_glitch(tmp_path):
+    """A planted 30-degree FaceMesh glitch at frame 25 must be the only
+    outlier (reference calc_delta_statistics.py:38-46 semantics: norm of
+    consecutive detected-frame angle diffs, threshold in degrees)."""
+    d = _head_dir(tmp_path, "host", frames=50, gap=(10, 13))
+    from multimodalreactiongeneration_tpu.data.head_io import (
+        load_head_file,
+        write_head_frame,
+    )
+
+    idx, frame = load_head_file(str(d / "host_00025.head"))
+    frame.angle = frame.angle + np.array([30.0, 0.0, 0.0])
+    write_head_frame(str(d / "host_00025.head"), idx, frame)
+
+    recs = list(ops.angle_jump_statistics(str(tmp_path), threshold=8.0,
+                                          hist_dir=str(tmp_path / "hist")))
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["frames"] == 47  # 50 minus the 3-frame gap
+    flagged = {o["frame"] for o in rec["outliers"]}
+    assert flagged == {25, 26}  # jump into and out of the glitch
+    assert (tmp_path / "hist" / "host_angle_jumps.png").exists()
+
+
 def test_quarantine_and_backfill(tmp_path):
     # a session with >400 misses gets quarantined
     d = _head_dir(tmp_path / "bad_session", "comp", frames=500, gap=(0, 450))
