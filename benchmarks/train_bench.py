@@ -1,0 +1,111 @@
+"""Reproducible full-train-step benchmark (fwd + bwd + adam on TPU).
+
+Backs the README table row: Metaformer production size (hidden 256,
+5 blocks, lstm embeddings — configs/lstmformer.yaml:5,38) at B32 x T240,
+the largest static bucket the production loader emits. Run once per RNN
+implementation to reproduce the Pallas-vs-scan comparison:
+
+    python benchmarks/train_bench.py --impl pallas
+    python benchmarks/train_bench.py --impl scan
+
+Timing is slope-based like bench.time_decode, but chaining is natural
+here: each step's donated (params, opt_state) feed the next, so inputs
+change every iteration and the tunneled runtime cannot memoize. Prints
+one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", choices=["auto", "scan", "pallas"],
+                    default="auto")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=240)
+    args = ap.parse_args()
+    # resolve_impl consults the env at trace time (nn/recurrent.py:34-50)
+    os.environ["MRGEN_RNN_IMPL"] = args.impl
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+    from multimodalreactiongeneration_tpu.train.harness import (
+        streaming_step_fns,
+    )
+    from multimodalreactiongeneration_tpu.train.optim import build_optimizer
+    from multimodalreactiongeneration_tpu.utils.config import from_dict
+
+    cfg = dict(bench.BENCH_CFG)
+    cfg.update(loss_type="huber", loss_reduction="mean", huber_delta=1.0,
+               delta_loss_scale=1.0)
+    metrics_cfg = dict(use_centroid=True, use_angle=True, delta_order=2)
+    optim_cfg = from_dict(dict(
+        use_optimizer="adam", momentum=0.9, weight_decay=1e-2, lr=1e-4,
+        use_lr_sched=False, batch_size=args.batch, max_epochs=10,
+    ))
+
+    b, t, lead, ratio = args.batch, args.frames, 12, bench.RATIO
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    data = (
+        jax.random.normal(ks[0], (b, t * ratio, 81)),
+        jax.random.normal(ks[1], (b, t, 18)),
+        jax.random.normal(ks[2], (b, t, 18)),
+        jax.random.normal(ks[3], (b, lead * ratio, 81)),
+        jax.random.normal(ks[4], (b, lead, 18)),
+        jax.random.normal(ks[5], (b, lead, 18)),
+        jax.random.normal(ks[6], (b, t, 18)),
+    )
+    lengths = jnp.full((b,), t, jnp.int32)
+    batch = [(x, lengths) for x in data]
+
+    model = Metaformer(cfg=cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *data[:6])
+    optimizer = build_optimizer(optim_cfg)
+    opt_state = jax.jit(optimizer.init)(params)
+    train_step, _ = streaming_step_fns(
+        model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True
+    )
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def run(n, params, opt_state):
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            params, opt_state, loss, _ = step(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+        dt = None
+        if loss is not None:
+            float(loss)  # host readback = real sync on the tunnel
+            dt = time.perf_counter() - t0
+        return dt, params, opt_state
+
+    _, params, opt_state = run(2, params, opt_state)  # compile + warm
+    slopes = []
+    n_small, n_large = 3, 9
+    for _ in range(3):
+        t_small, params, opt_state = run(n_small, params, opt_state)
+        t_large, params, opt_state = run(n_large, params, opt_state)
+        slopes.append(max((t_large - t_small) / (n_large - n_small), 1e-9))
+    ms = float(np.median(slopes)) * 1e3
+
+    print(json.dumps({
+        "metric": "metaformer_train_step_ms",
+        "value": round(ms, 2),
+        "unit": f"ms/step (B{b} x T{t}, 256x5 lstm-emb, impl={args.impl}, "
+                f"fwd+bwd+adam)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
