@@ -1,0 +1,93 @@
+"""Serving capacity benchmark: concurrent 12.5 fps sessions per chip.
+
+Drives infer/serving.ServingEngine at the production Metaformer size
+(bench.py BENCH_CFG) with every slot attached, measuring the sustained
+wall-clock per step() — one frame for ALL sessions. A slot count is
+sustainable when the step fits the 80 ms frame interval (12.5 fps).
+
+Note the wall time includes this environment's host<->device tunnel
+round-trip (~28 ms, see the verify skill); on a directly-attached host
+the sustainable slot count is correspondingly higher.
+
+Usage: python benchmarks/serving_bench.py [--slots 8 16 32] [--steps 50]
+Prints one JSON line per slot count.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+FRAME_BUDGET_MS = 80.0  # one 12.5 fps frame interval
+
+
+def run(slots: int, steps: int) -> dict:
+    import jax
+
+    import bench
+    from multimodalreactiongeneration_tpu.infer.serving import ServingEngine
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+
+    model = Metaformer(cfg=bench.BENCH_CFG)
+    init_in = (
+        np.zeros((1, 8, 81), np.float32),
+        np.zeros((1, 1, 18), np.float32),
+        np.zeros((1, 1, 18), np.float32),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_in)
+
+    engine = ServingEngine(model, params, slots=slots)
+    rng = np.random.default_rng(0)
+    lead = (
+        rng.normal(size=(1, 12 * 8, 81)).astype(np.float32),
+        rng.normal(size=(1, 12, 18)).astype(np.float32),
+        rng.normal(size=(1, 12, 18)).astype(np.float32),
+    )
+    for _ in range(slots):
+        engine.attach(*lead)
+
+    audio = (0.1 * rng.standard_normal(
+        (steps, slots, engine.hop_samples)
+    )).astype(np.float32)
+    mp = rng.normal(size=(steps, slots, 1, 18)).astype(np.float32)
+
+    engine.step(audio[0], mp[0])  # compile
+    times = []
+    for t in range(steps):
+        t0 = time.perf_counter()
+        out = engine.step(audio[t], mp[t])
+        # engine.step returns a host ndarray — the np.asarray readback
+        # inside is a real device sync even on the tunnel
+        assert np.isfinite(out).all()
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times[5:]) * 1e3  # drop warm-in steps
+    return {
+        "metric": "serving_step_ms",
+        "value": round(float(np.mean(times)), 2),
+        "unit": (
+            f"ms/frame for {slots} concurrent sessions "
+            f"(p95 {np.percentile(times, 95):.1f} ms, budget "
+            f"{FRAME_BUDGET_MS:.0f} ms @ 12.5 fps, metaformer-256x5)"
+        ),
+        "sustains_12_5_fps": bool(
+            np.percentile(times, 95) < FRAME_BUDGET_MS
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+    for s in args.slots:
+        print(json.dumps(run(s, args.steps)))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,29 @@ from multimodalreactiongeneration_tpu.infer.generate import (
 from multimodalreactiongeneration_tpu.ops import dsp
 
 
+def fbank_stream_geometry(cfg: dict):
+    """(FbankParams, ratio, hop_samples, context_samples) for streaming.
+
+    One 12.5 fps step consumes ``ratio`` fbank hops of new audio; the
+    left context (delta_order extra frames + window-hop overlap, rounded
+    UP to a hop multiple so streamed framing lands on the offline frame
+    grid) makes each step's features bit-match the offline pipeline.
+    """
+    fbp = dsp.FbankParams(
+        sample_rate=cfg["sampling_rate"],
+        n_fft=400,
+        hop=cfg["shift"],
+        n_mels=cfg["nmels"],
+        delta_order=cfg["delta_order"],
+    )
+    acoustic_fps = cfg["sampling_rate"] / cfg["shift"]
+    ratio = int(acoustic_fps / cfg["pred_fps"])
+    hop_samples = ratio * fbp.hop  # 1280 @ defaults
+    raw_context = fbp.delta_order * fbp.hop + (fbp.n_fft - fbp.hop)
+    context_samples = -(-raw_context // fbp.hop) * fbp.hop
+    return fbp, ratio, hop_samples, context_samples
+
+
 class MotionDeltaStream:
     """Incremental delta stacking for a raw 6-dim pose stream.
 
@@ -66,23 +89,10 @@ class StreamingSession:
         self.params = params
         self.cfg = model.cfg
         self.batch = batch
-        fbp = dsp.FbankParams(
-            sample_rate=self.cfg["sampling_rate"],
-            n_fft=400,
-            hop=self.cfg["shift"],
-            n_mels=self.cfg["nmels"],
-            delta_order=self.cfg["delta_order"],
+        fbp, self.ratio, self.hop_samples, self.context_samples = (
+            fbank_stream_geometry(self.cfg)
         )
         self.fb_params = fbp
-        acoustic_fps = self.cfg["sampling_rate"] / self.cfg["shift"]
-        self.ratio = int(acoustic_fps / self.cfg["pred_fps"])
-        self.hop_samples = self.ratio * fbp.hop  # 1280 @ defaults
-        # left context so each step yields exactly `ratio` delta-stacked
-        # frames: delta_order extra frames + window-hop overlap, rounded UP
-        # to a hop multiple so streamed framing lands on the offline frame
-        # grid (n_fft - hop = 240 is not hop-aligned by itself)
-        raw_context = fbp.delta_order * fbp.hop + (fbp.n_fft - fbp.hop)
-        self.context_samples = -(-raw_context // fbp.hop) * fbp.hop
         self.warmup_frames = self.context_samples // fbp.hop
         self.buf_samples = self.hop_samples + self.context_samples
         self._audio_tail = np.zeros(
