@@ -54,13 +54,33 @@ class ServingEngine:
     slots: compiled batch capacity (sessions served concurrently).
     """
 
-    def __init__(self, model, params, slots: int = 8):
+    def __init__(self, model, params, slots: int = 8, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. The slot
+        pool (states, prev frames, per-step inputs) is sharded over it
+        and params replicated, so one engine serves slots across every
+        chip of a slice — the serving analog of the data-parallel train
+        step (parallel/mesh.py). slots must divide evenly."""
         if slots < 1:
             raise ValueError(f"need at least 1 slot, got {slots}")
         self.model = model
         self.params = params
         self.cfg = model.cfg
         self.slots = slots
+        self.mesh = mesh
+        self._slot_sharding = None
+        if mesh is not None:
+            from multimodalreactiongeneration_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+            )
+
+            n_dev = mesh.devices.size
+            if slots % n_dev:
+                raise ValueError(
+                    f"{slots} slots do not divide over {n_dev} devices"
+                )
+            self._slot_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(params, replicated(mesh))
         fbp, self.ratio, self.hop_samples, self.context_samples = (
             fbank_stream_geometry(self.cfg)
         )
@@ -80,10 +100,14 @@ class ServingEngine:
             jnp.zeros((1, 1, self.feat_dim)),
         )
         self._states = jax.tree_util.tree_map(
-            lambda leaf: jnp.broadcast_to(leaf, (slots,) + leaf.shape),
+            lambda leaf: self._place(
+                jnp.broadcast_to(leaf, (slots,) + leaf.shape)
+            ),
             proto,
         )
-        self._prev = jnp.zeros((slots, 1, 1, self.feat_dim), jnp.float32)
+        self._prev = self._place(
+            jnp.zeros((slots, 1, 1, self.feat_dim), jnp.float32)
+        )
 
         def one_step(p, state, prev, audio_buf, mp_frame):
             """Single slot, model batch dim = 1 (vmap adds the slot axis).
@@ -108,6 +132,12 @@ class ServingEngine:
             )
 
         self._scatter = jax.jit(scatter)
+
+    def _place(self, x):
+        """Shard a slot-axis array over the mesh (no-op without one)."""
+        if self._slot_sharding is None:
+            return x
+        return jax.device_put(x, self._slot_sharding)
 
     def _fresh_state(self, lead_audio, lead_mp, lead_ms):
         """Prime a batch-1 state on a leading segment (reference warmup).
@@ -178,8 +208,8 @@ class ServingEngine:
             self.params,
             self._states,
             self._prev,
-            jnp.asarray(buf),
-            jnp.asarray(partner_motion, jnp.float32),
+            self._place(jnp.asarray(buf)),
+            self._place(jnp.asarray(partner_motion, jnp.float32)),
         )
         self._prev = y
         # np.array (not asarray): jax arrays view as read-only

@@ -178,3 +178,34 @@ def test_step_shape_validation():
         engine.step(
             np.zeros((2, 7), np.float32), np.zeros((2, 1, 18), np.float32)
         )
+
+
+def test_serving_over_mesh():
+    """Slot pool sharded over an 8-device 'data' mesh == local engine."""
+    from multimodalreactiongeneration_tpu.parallel.mesh import make_mesh
+
+    model, params = _model_and_params()
+    mesh = make_mesh(8)
+    local = ServingEngine(model, params, slots=8)
+    sharded = ServingEngine(model, params, slots=8, mesh=mesh)
+
+    # the pool is genuinely distributed: slot-axis leaves span all devices
+    leaf = jax.tree_util.tree_leaves(sharded._states)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    rng = np.random.default_rng(9)
+    leads = [_lead(np.random.default_rng(10 + i)) for i in range(8)]
+    for eng in (local, sharded):
+        for ld in leads:
+            eng.attach(*ld)
+    for _ in range(2):
+        audio = (0.1 * rng.standard_normal(
+            (8, local.hop_samples)
+        )).astype(np.float32)
+        mp = rng.normal(size=(8, 1, 18)).astype(np.float32)
+        np.testing.assert_allclose(
+            sharded.step(audio, mp), local.step(audio, mp), atol=1e-5
+        )
+
+    with pytest.raises(ValueError):
+        ServingEngine(model, params, slots=3, mesh=mesh)
