@@ -29,6 +29,7 @@ def main():
                     default="auto")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args()
     # resolve_impl consults the env at trace time (nn/recurrent.py:34-50)
     os.environ["MRGEN_RNN_IMPL"] = args.impl
@@ -72,8 +73,10 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *data[:6])
     optimizer = build_optimizer(optim_cfg)
     opt_state = jax.jit(optimizer.init)(params)
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     train_step, _ = streaming_step_fns(
-        model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True
+        model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True,
+        compute_dtype=compute_dtype,
     )
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -103,7 +106,7 @@ def main():
         "metric": "metaformer_train_step_ms",
         "value": round(ms, 2),
         "unit": f"ms/step (B{b} x T{t}, 256x5 lstm-emb, impl={args.impl}, "
-                f"fwd+bwd+adam)",
+                f"{args.precision}, fwd+bwd+adam)",
     }))
 
 
