@@ -84,8 +84,13 @@ def _lstm_scan(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
         h = (o * jnp.tanh(c)).astype(dtype)
         return (h, c), h
 
+    # short sequences (the AR-decode embeddings: ratio=8 audio frames or
+    # a single motion frame per step) unroll fully — no loop bookkeeping
+    # nested inside the already-unrolled decode scan
+    t = xw.shape[1]
     (h, c), ys = jax.lax.scan(
-        step, (h0, c0), jnp.swapaxes(xw, 0, 1), reverse=reverse
+        step, (h0, c0), jnp.swapaxes(xw, 0, 1), reverse=reverse,
+        unroll=t if t <= 16 else 1,
     )
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
@@ -111,7 +116,11 @@ def _gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
         h = ((1.0 - z) * n + z * h).astype(dtype)
         return h, h
 
-    h, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1), reverse=reverse)
+    t = xw.shape[1]
+    h, ys = jax.lax.scan(
+        step, h0, jnp.swapaxes(xw, 0, 1), reverse=reverse,
+        unroll=t if t <= 16 else 1,
+    )
     return jnp.swapaxes(ys, 0, 1), h
 
 
