@@ -1,0 +1,95 @@
+"""KV ring buffer property tests (infer/cache.py).
+
+The buffer's contract: after any sequence of extends, attention over
+(buffer, mask) equals attention over the plain concatenation's last
+``capacity`` tokens — softmax attention is permutation-equivariant over
+keys, so slot rotation must not matter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalreactiongeneration_tpu.infer.cache import (
+    cache_extend,
+    cache_init,
+)
+from multimodalreactiongeneration_tpu.nn.attention import (
+    scaled_dot_attention,
+)
+
+
+def _attend(q, k, v, mask):
+    # (B, S, D) single-head attention; mask (..., S) True = masked
+    qh = q[:, None]  # (B, 1=head, 1, D)
+    kh = k[:, None]
+    vh = v[:, None]
+    m = jnp.broadcast_to(mask[:, None, None, :], qh.shape[:3] + (k.shape[1],)) \
+        if mask.ndim == 2 else mask
+    return scaled_dot_attention(qh, kh, vh, m)[:, 0]
+
+
+@pytest.mark.parametrize("capacity", [7, 16])
+def test_ring_buffer_equals_truncated_concat(capacity):
+    rng = np.random.default_rng(0)
+    batch, dim = 2, 8
+    cache = cache_init(batch, capacity, dim)
+    naive_k, naive_v = [], []
+
+    for step, n in enumerate([3, 1, 5, 2, 7, 1, 4, 6, 1, 1]):
+        k = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+        cache, k_full, v_full, mask = cache_extend(cache, k, v)
+        naive_k.append(np.asarray(k))
+        naive_v.append(np.asarray(v))
+
+        ref_k = np.concatenate(naive_k, axis=1)[:, -capacity:]
+        ref_v = np.concatenate(naive_v, axis=1)[:, -capacity:]
+        q = jnp.asarray(rng.normal(size=(batch, 1, dim)), jnp.float32)
+
+        got = _attend(q, k_full, v_full, jnp.broadcast_to(
+            mask, (batch,) + mask.shape[-1:]
+        ))
+        want = _attend(
+            q, jnp.asarray(ref_k), jnp.asarray(ref_v),
+            jnp.zeros((batch, ref_k.shape[1]), bool),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5,
+            err_msg=f"step {step} (length {int(cache['length'])})",
+        )
+
+
+def test_overflow_chunk_raises():
+    cache = cache_init(1, 4, 8)
+    with pytest.raises(ValueError, match="capacity-4"):
+        cache_extend(
+            cache, jnp.zeros((1, 5, 8)), jnp.zeros((1, 5, 8))
+        )
+
+
+def test_prime_chunk_mask_scatter():
+    """Priming with an intra-chunk causal mask: query i of the chunk must
+    not see chunk tokens > i, while earlier cached tokens stay visible."""
+    capacity, dim = 8, 4
+    cache = cache_init(1, capacity, dim)
+    # first: 2 plain tokens (all visible to later queries)
+    cache, _, _, _ = cache_extend(
+        cache, jnp.ones((1, 2, dim)), jnp.ones((1, 2, dim))
+    )
+    # then: prime a 3-token chunk with causal intra-chunk masking
+    chunk_mask = jnp.triu(jnp.ones((3, 3), bool), k=1)[None]  # (1, Lq=3, 3)
+    cache, _, _, mask = cache_extend(
+        cache, jnp.ones((1, 3, dim)), jnp.ones((1, 3, dim)),
+        chunk_mask=chunk_mask,
+    )
+    mask = np.asarray(mask)  # (1, 3, capacity)
+    # slots 0-1 (pre-existing) visible to every chunk query
+    assert not mask[0, :, :2].any()
+    # chunk slots 2-4: causal
+    assert not mask[0, 0, 2] and mask[0, 0, 3] and mask[0, 0, 4]
+    assert not mask[0, 1, 3] and mask[0, 1, 4]
+    assert not mask[0, 2, 4]
+    # never-written slots masked for every query
+    assert mask[0, :, 5:].all()
