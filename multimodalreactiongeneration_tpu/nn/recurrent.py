@@ -86,11 +86,13 @@ def _lstm_scan(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
 
     # short sequences (the AR-decode embeddings: ratio=8 audio frames or
     # a single motion frame per step) unroll fully — no loop bookkeeping
-    # nested inside the already-unrolled decode scan
+    # nested inside the already-unrolled decode scan. Cutoff 8, not
+    # higher: unrolling simple_lstm's ctx-15 windows bloats its rollout
+    # body and measured 30% SLOWER
     t = xw.shape[1]
     (h, c), ys = jax.lax.scan(
         step, (h0, c0), jnp.swapaxes(xw, 0, 1), reverse=reverse,
-        unroll=t if t <= 16 else 1,
+        unroll=t if t <= 8 else 1,
     )
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
@@ -119,7 +121,7 @@ def _gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
     t = xw.shape[1]
     h, ys = jax.lax.scan(
         step, h0, jnp.swapaxes(xw, 0, 1), reverse=reverse,
-        unroll=t if t <= 16 else 1,
+        unroll=t if t <= 8 else 1,
     )
     return jnp.swapaxes(ys, 0, 1), h
 
