@@ -85,6 +85,8 @@ def main():
     ap.add_argument("--slots", type=int, nargs="+", default=[8, 16, 32])
     ap.add_argument("--steps", type=int, default=50)
     args = ap.parse_args()
+    if args.steps < 10:
+        ap.error("--steps must be >= 10 (the first 5 are dropped as warm-in)")
     for s in args.slots:
         print(json.dumps(run(s, args.steps)))
 

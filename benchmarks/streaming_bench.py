@@ -20,18 +20,19 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax  # noqa: E402
-import numpy as np  # noqa: E402
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--blocks", type=int, default=5)
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
 
     # import after the arg parse so --help is instant
+    import jax
+    import numpy as np
+
     import bench
     from multimodalreactiongeneration_tpu.infer.streaming import (
         StreamingSession,

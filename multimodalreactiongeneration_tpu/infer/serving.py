@@ -33,7 +33,7 @@ the last lead self-motion frame.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +201,11 @@ class ServingEngine:
             raise ValueError(
                 f"need audio ({self.slots}, {self.hop_samples}), "
                 f"got {audio_samples.shape}"
+            )
+        if np.shape(partner_motion) != (self.slots, 1, self.feat_dim):
+            raise ValueError(
+                f"need partner_motion ({self.slots}, 1, {self.feat_dim}), "
+                f"got {np.shape(partner_motion)}"
             )
         buf = np.concatenate([self._tails, audio_samples], axis=-1)
         self._tails = buf[:, -self.context_samples:]

@@ -92,7 +92,7 @@ def _lstm_scan(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
     t = xw.shape[1]
     (h, c), ys = jax.lax.scan(
         step, (h0, c0), jnp.swapaxes(xw, 0, 1), reverse=reverse,
-        unroll=t if t <= 8 else 1,
+        unroll=t if 0 < t <= 8 else 1,
     )
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
@@ -121,7 +121,7 @@ def _gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool):
     t = xw.shape[1]
     h, ys = jax.lax.scan(
         step, h0, jnp.swapaxes(xw, 0, 1), reverse=reverse,
-        unroll=t if t <= 8 else 1,
+        unroll=t if 0 < t <= 8 else 1,
     )
     return jnp.swapaxes(ys, 0, 1), h
 

@@ -140,6 +140,12 @@ def import_torch_state_dict(
         if rest.startswith(("weight_ih", "weight_hh", "bias_ih", "bias_hh")):
             _assign(params, f"{flax_prefix}/{rest}", array)
             continue
+        if rest in ("q_proj_weight", "k_proj_weight", "v_proj_weight"):
+            # torch MHA with kdim/vdim != embed_dim keeps the projections
+            # unpacked under these exact attribute names; ours use the
+            # same names and layout — copy verbatim (no transpose)
+            _assign(params, f"{flax_prefix}/{rest}", array)
+            continue
         if rest.endswith("out_proj.weight"):
             _assign(params, f"{flax_prefix}/out_proj_weight", array)
             continue

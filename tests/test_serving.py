@@ -178,6 +178,11 @@ def test_step_shape_validation():
         engine.step(
             np.zeros((2, 7), np.float32), np.zeros((2, 1, 18), np.float32)
         )
+    with pytest.raises(ValueError):
+        engine.step(
+            np.zeros((2, engine.hop_samples), np.float32),
+            np.zeros((2, 18), np.float32),
+        )
 
 
 def test_serving_over_mesh():

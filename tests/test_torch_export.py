@@ -166,3 +166,35 @@ def test_export_loads_into_torch_replica_strict():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy(), atol=2e-5
     )
+
+
+def test_unpacked_qkv_roundtrip():
+    """MHA with kdim/vdim != embed_dim: torch keeps q/k/v projections as
+    separate attributes (packed bias). Export must emit that layout and
+    import must read it back verbatim."""
+    from multimodalreactiongeneration_tpu.models.torch_export import (
+        export_torch_state_dict,
+    )
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        import_torch_state_dict,
+    )
+
+    rng = np.random.default_rng(12)
+    e, kdim = 8, 6
+    params = {"att": {
+        "q_proj_weight": rng.normal(size=(e, e)).astype(np.float32),
+        "k_proj_weight": rng.normal(size=(e, kdim)).astype(np.float32),
+        "v_proj_weight": rng.normal(size=(e, kdim)).astype(np.float32),
+        "q_proj_bias": rng.normal(size=(e,)).astype(np.float32),
+        "k_proj_bias": rng.normal(size=(e,)).astype(np.float32),
+        "v_proj_bias": rng.normal(size=(e,)).astype(np.float32),
+        "out_proj_weight": rng.normal(size=(e, e)).astype(np.float32),
+        "out_proj_bias": rng.normal(size=(e,)).astype(np.float32),
+    }}
+    nm = {"block.cross_att": "att"}
+    sd = export_torch_state_dict(params, nm)
+    assert "block.cross_att.q_proj_weight" in sd  # unpacked weights
+    assert "block.cross_att.in_proj_bias" in sd  # bias always packed
+    assert "block.cross_att.in_proj_weight" not in sd
+    back = import_torch_state_dict(sd, nm)
+    _assert_tree_equal(params, back)
