@@ -214,3 +214,20 @@ def test_serving_over_mesh():
 
     with pytest.raises(ValueError):
         ServingEngine(model, params, slots=3, mesh=mesh)
+
+
+def test_serving_mha_embeddings():
+    """mha-embedding metaformer: the engine must pool the emb ring
+    buffers too (not just the cross-modal ones)."""
+    cfg = dict(MF_CFG, emb_mixers=["mha", "mha", "mha"], max_context_len=2)
+    model = Metaformer(cfg=cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, 8, 81)), jnp.zeros((1, 1, 18)), jnp.zeros((1, 1, 18)),
+    )
+    engine = ServingEngine(model, params, slots=2)
+    slot = engine.attach(*_lead(np.random.default_rng(12)))
+    audio, mp = _session_inputs(np.random.default_rng(13), 3)
+    out = _drive(engine, slot, audio, mp)
+    assert out.shape == (3, 1, 18)
+    assert np.isfinite(out).all()
