@@ -128,3 +128,24 @@ def test_rnn_impl_env_override(monkeypatch):
     assert resolve_impl("pallas", 100) == "pallas"  # but not explicit
     monkeypatch.setenv("MRGEN_RNN_IMPL", "pallas")
     assert resolve_impl("auto", 100) == "pallas"
+
+
+def test_zero_length_sequence():
+    """(B, 0, I) inputs: empty outputs, initial state back (the unroll
+    heuristic must not pass unroll=0 to lax.scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalreactiongeneration_tpu.nn.recurrent import TorchGRU, TorchLSTM
+
+    lstm = TorchLSTM(input_size=4, hidden_size=3)
+    params = lstm.init(jax.random.PRNGKey(0), jnp.zeros((2, 1, 4)))
+    ys, (h, c) = lstm.apply(params, jnp.zeros((2, 0, 4)))
+    assert ys.shape == (2, 0, 3)
+    assert (h == 0).all() and (c == 0).all()
+
+    gru = TorchGRU(input_size=4, hidden_size=3)
+    gparams = gru.init(jax.random.PRNGKey(1), jnp.zeros((2, 1, 4)))
+    gys, gh = gru.apply(gparams, jnp.zeros((2, 0, 4)))
+    assert gys.shape == (2, 0, 3)
+    assert (gh == 0).all()
