@@ -110,15 +110,18 @@ def time_decode(decode, params, batch, n_small=2, n_large=8, estimates=3):
             b = tuple(x + eps for x in b)
             out = decode(params, b)
         _sync(out)
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, out
 
     out = decode(params, batch)
     _sync(out)
-    run(1, out)  # absorb residual compiles
+    _, out = run(1, out)  # absorb residual compiles
     slopes = []
     for _ in range(estimates):
-        t_small = run(n_small, out)
-        t_large = run(n_large, out)
+        # CHAIN out through every run: restarting each estimate from the
+        # same out would replay a bit-identical dispatch sequence, which
+        # the memoizing runtime could serve from cache
+        t_small, out = run(n_small, out)
+        t_large, out = run(n_large, out)
         slopes.append(
             max((t_large - t_small) / (n_large - n_small), 1e-9)
         )

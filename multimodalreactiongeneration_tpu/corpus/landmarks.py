@@ -260,7 +260,7 @@ def process_corpus(
 ) -> int:
     """Corpus-level L1 driver (reference video_process.py:27-75 +
     video_process.sh): for every session's side-by-side movie, split into
-    host (left) / comp (right) streams and estimate head poses into
+    comp (left) / host (right) streams (split_frame) and estimate head poses into
     <output>/<session>/{host,comp}_*.head with corpus statistics stamped.
 
     Head files land in <output>/<session>/<who>/<who>_NNNNN.head with

@@ -222,7 +222,10 @@ def angle_jump_statistics(
             os.makedirs(hist_dir, exist_ok=True)
             plt.hist(dist, bins=50)
             plt.xlabel("|d angle| per frame (deg)")
-            name = os.path.basename(dirpath.rstrip("/")) or "root"
+            # name by the root-relative path: a bare basename collides
+            # across sessions (every session has a comp/ and a host/)
+            rel = os.path.relpath(dirpath, root).replace(os.sep, "_")
+            name = rel if rel != "." else "root"
             plt.savefig(os.path.join(hist_dir, f"{name}_angle_jumps.png"))
             plt.clf()
         yield {

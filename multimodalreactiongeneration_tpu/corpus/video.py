@@ -116,16 +116,34 @@ class Cv2VideoReader(VideoSource):
 
     def __getitem__(self, idx: int) -> np.ndarray:
         """Random access via a cv2 seek (the reference's per-frame
-        `video_reader[i]` pattern, visualize_metaformer.py:287)."""
-        cap = self._cv2.VideoCapture(self.path)
-        try:
-            cap.set(self._cv2.CAP_PROP_POS_FRAMES, int(idx))
-            ok, frame = cap.read()
-            if not ok:
-                raise IndexError(f"frame {idx} past EOF of {self.path}")
-            return frame[..., ::-1]
-        finally:
+        `video_reader[i]` pattern, visualize_metaformer.py:287).
+
+        One capture is cached across calls — eval renders hundreds of
+        frames per segment and reopening the container each time costs a
+        header parse + keyframe seek per frame. Sequential reads (the
+        common render pattern) skip the seek entirely."""
+        idx = int(idx)
+        cap = getattr(self, "_cap", None)
+        if cap is None:
+            cap = self._cap = self._cv2.VideoCapture(self.path)
+            self._cap_next = -1
+        if idx != self._cap_next:
+            cap.set(self._cv2.CAP_PROP_POS_FRAMES, idx)
+        ok, frame = cap.read()
+        if not ok:
+            self.close()
+            raise IndexError(f"frame {idx} past EOF of {self.path}")
+        self._cap_next = idx + 1
+        return frame[..., ::-1]
+
+    def close(self):
+        cap = getattr(self, "_cap", None)
+        if cap is not None:
             cap.release()
+            self._cap = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        self.close()
 
     def __len__(self):
         return self._count
@@ -139,6 +157,31 @@ def open_video(path_or_array, fps: float = 25.0) -> VideoSource:
     if str(path_or_array).endswith(".npy"):
         return ArrayVideoReader(np.load(path_or_array), fps)
     return Cv2VideoReader(path_or_array)
+
+
+class HalfVideoSource(VideoSource):
+    """View of one participant's half of a side-by-side session movie.
+
+    Lets eval compose source frames directly from ``movie.mp4`` when no
+    pre-split comp/host streams exist (this repo's landmark driver splits
+    in-stream and never materializes them)."""
+
+    def __init__(self, source: VideoSource, side: int):
+        self.source = source
+        self.side = side  # 0 = left/comp, 1 = right/host (split_frame)
+        self.fps = source.fps
+        w, h = source.size
+        self.size = (w // 2, h)
+
+    def __iter__(self):
+        for frame in self.source:
+            yield split_frame(frame)[self.side]
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return split_frame(self.source[idx])[self.side]
+
+    def __len__(self):
+        return len(self.source)
 
 
 def split_frame(frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -478,6 +478,44 @@ class BatchLoader:
             yield self._collate(chunk)
 
 
+class HostRowShard:
+    """Multi-host loader adapter: consistent global batches across hosts.
+
+    Sharding the *index list* per host (tr[pi::pc]) breaks multi-host
+    training two ways: independently collated per-host batches pad to
+    different time lengths (make_array_from_process_local_data then sees
+    inconsistent global shapes), and uneven shard sizes give hosts
+    different step counts (one host enters a collective the others never
+    join -> hang). Here every host iterates the IDENTICAL global batch
+    sequence (same indices + seed -> same shuffle, bucketing, collation,
+    padded shapes, step count) and keeps only rows [pi::pc] of each
+    batch; Trainer._stage assembles the slices into the global batch.
+    Trailing rows beyond the largest pc-divisible count are dropped
+    (at most pc-1 per batch); batches smaller than pc are skipped.
+    """
+
+    def __init__(self, loader, process_index: int, process_count: int):
+        self.loader = loader
+        self.pi = process_index
+        self.pc = process_count
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        import jax
+
+        def rows(t):
+            keep = (t.shape[0] // self.pc) * self.pc
+            return t[self.pi:keep:self.pc]
+
+        for batch in self.loader:
+            first = jax.tree_util.tree_leaves(batch)[0]
+            if first.shape[0] < self.pc:
+                continue
+            yield jax.tree_util.tree_map(rows, batch)
+
+
 class PrefetchLoader:
     """Background-thread prefetch over any batch loader.
 
@@ -505,22 +543,37 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         END = object()
+        cancelled = threading.Event()
 
         def produce():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    # poll the flag instead of blocking forever on a full
+                    # queue: an abandoned consumer (exception in the train
+                    # loop, KeyboardInterrupt) would otherwise leak this
+                    # thread plus `depth` collated batches per fit() retry
+                    while not cancelled.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancelled.is_set():
+                        return
                 q.put(END)
             except BaseException as exc:  # surfaced on the consumer side
                 q.put(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            cancelled.set()

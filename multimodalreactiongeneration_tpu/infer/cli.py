@@ -138,17 +138,26 @@ def main(argv=None):
                 target_path = manifest["self_motion"]["path"]
                 who = os.path.basename(target_path)
                 data_name = os.path.basename(os.path.dirname(target_path))
-                movie = os.path.join(
-                    src_dir,
-                    data_name,
-                    "comp.mp4" if "host" in who else "host.mp4",
+                partner = "comp" if "host" in who else "host"
+                movie = os.path.join(src_dir, data_name, f"{partner}.mp4")
+                session_movie = os.path.join(
+                    src_dir, data_name, "movie.mp4"
                 )
-                if os.path.exists(movie):
-                    from multimodalreactiongeneration_tpu.corpus.video import (
-                        open_video,
-                    )
+                from multimodalreactiongeneration_tpu.corpus.video import (
+                    HalfVideoSource,
+                    open_video,
+                )
 
+                if os.path.exists(movie):
                     source = open_video(movie)
+                elif os.path.exists(session_movie):
+                    # self-built corpora keep only the side-by-side
+                    # movie.mp4 (corpus/landmarks.py splits in-stream);
+                    # serve the partner's half as a view
+                    source = HalfVideoSource(
+                        open_video(session_movie),
+                        0 if partner == "comp" else 1,
+                    )
             if use_video:
                 n_frames += render_segment_video(
                     pred,

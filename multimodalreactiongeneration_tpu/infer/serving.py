@@ -85,7 +85,11 @@ class ServingEngine:
             fbank_stream_geometry(self.cfg)
         )
         self._fbp = fbp
-        self.feat_dim = 18
+        from multimodalreactiongeneration_tpu.models.lstmformer import (
+            derived_sizes,
+        )
+
+        self.feat_dim = derived_sizes(self.cfg)["motion_input_size"]
 
         self.active = np.zeros(slots, bool)
         self._free: List[int] = list(range(slots))[::-1]

@@ -44,6 +44,11 @@ class TopKCheckpointer:
                 continue
             self._saved.append((val_loss, os.path.join(self.directory, name)))
         self._saved.sort()
+        # prune beyond-top-k dirs found on disk NOW: once dropped from
+        # _saved they would otherwise be orphaned forever, breaking the
+        # advertised top-k disk bound on resume
+        for _, stale in self._saved[self.top_k:]:
+            shutil.rmtree(stale, ignore_errors=True)
         del self._saved[self.top_k:]
 
     def _save(self, path: str, params, opt_state, epoch: int):

@@ -46,11 +46,6 @@ def make_streaming_loaders(cfg, logger):
     tr, va, te = random_split_indices(
         len(dataset), cfg.exp.train_rate, cfg.exp.valid_rate, seed=cfg.get("seed", 0)
     )
-    # multi-host: each process loads only its shard of every split; the
-    # per-host batches assemble into one global batch in Trainer._stage
-    if jax.process_count() > 1:
-        pi, pc = jax.process_index(), jax.process_count()
-        tr, va, te = tr[pi::pc], va[pi::pc], te[pi::pc]
     logger.info(
         f"train size: {len(tr)}, valid size: {len(va)}, test size: {len(te)}"
     )
@@ -66,6 +61,16 @@ def make_streaming_loaders(cfg, logger):
             audio_cfg=cfg.audio.to_dict(),  # batched-on-device fbank/batch
             bucket_windows=int(cfg.trainer.get("bucket_windows", 8)),
         )
+        # multi-host: identical global batches everywhere, each process
+        # keeps its row slice (HostRowShard docstring has the why)
+        if jax.process_count() > 1:
+            from multimodalreactiongeneration_tpu.data.dataset import (
+                HostRowShard,
+            )
+
+            loader = HostRowShard(
+                loader, jax.process_index(), jax.process_count()
+            )
         return PrefetchLoader(loader, depth) if depth > 0 else loader
 
     return mk(tr, True), mk(va, False), mk(te, False), dataset
@@ -89,9 +94,21 @@ def make_windowed_loaders(cfg, logger):
         f"train size: {len(tr)}, valid size: {len(va)}, test size: {len(te)}"
     )
     bs = cfg.exp.batch_size
-    mk = lambda idx, sh: WindowBatchLoader(
-        dataset, idx, bs, shuffle=sh, seed=cfg.get("seed", 0)
-    )
+
+    def mk(idx, sh):
+        loader = WindowBatchLoader(
+            dataset, idx, bs, shuffle=sh, seed=cfg.get("seed", 0)
+        )
+        if jax.process_count() > 1:
+            from multimodalreactiongeneration_tpu.data.dataset import (
+                HostRowShard,
+            )
+
+            loader = HostRowShard(
+                loader, jax.process_index(), jax.process_count()
+            )
+        return loader
+
     return mk(tr, True), mk(va, False), mk(te, False), dataset
 
 

@@ -150,3 +150,74 @@ def test_prefetch_reiterable_across_epochs():
     pf = PrefetchLoader(inner, depth=2)
     assert list(pf) == [0, 1, 2]
     assert list(pf) == [0, 1, 2]
+
+
+class _ListLoader:
+    """Fixed batch list standing in for a collated BatchLoader."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_host_row_shard_reassembles_global_batches():
+    from multimodalreactiongeneration_tpu.data.dataset import HostRowShard
+
+    rng = np.random.default_rng(3)
+    batches = [
+        [
+            (rng.normal(size=(6, 10, 4)).astype(np.float32),
+             np.full((6,), 10, np.int32)),
+            (rng.normal(size=(6, 10, 2)).astype(np.float32),
+             np.full((6,), 10, np.int32)),
+        ],
+        [  # final partial batch: 5 rows -> keep 4, drop 1
+            (rng.normal(size=(5, 12, 4)).astype(np.float32),
+             np.full((5,), 12, np.int32)),
+            (rng.normal(size=(5, 12, 2)).astype(np.float32),
+             np.full((5,), 12, np.int32)),
+        ],
+    ]
+    pc = 2
+    shards = [
+        list(HostRowShard(_ListLoader(batches), pi, pc)) for pi in range(pc)
+    ]
+    # every host sees the same number of steps with the same shapes
+    assert len(shards[0]) == len(shards[1]) == len(batches)
+    for b0, b1, full in zip(shards[0], shards[1], batches):
+        for (x0, l0), (x1, l1), (xf, lf) in zip(b0, b1, full):
+            assert x0.shape == x1.shape
+            keep = (xf.shape[0] // pc) * pc
+            # interleaving the row slices reconstructs the kept rows
+            rebuilt = np.empty((keep,) + xf.shape[1:], xf.dtype)
+            rebuilt[0::pc] = x0
+            rebuilt[1::pc] = x1
+            np.testing.assert_array_equal(rebuilt, xf[:keep])
+            np.testing.assert_array_equal(
+                np.stack([l0, l1], 1).reshape(-1), lf[:keep]
+            )
+    # batches smaller than the process count are skipped everywhere
+    tiny = [[(np.zeros((1, 4, 2), np.float32), np.ones((1,), np.int32))]]
+    assert list(HostRowShard(_ListLoader(tiny), 0, 2)) == []
+    assert list(HostRowShard(_ListLoader(tiny), 1, 2)) == []
+
+
+def test_prefetch_abandoned_consumer_unblocks_producer():
+    """Breaking out of a prefetch iterator mid-epoch must release the
+    producer thread instead of leaving it blocked on a full queue."""
+    n_before = threading.active_count()
+    batches = [np.full((2, 2), i, np.float32) for i in range(50)]
+    loader = PrefetchLoader(_ListLoader(batches), depth=1)
+    it = iter(loader)
+    first = next(it)
+    np.testing.assert_array_equal(first, batches[0])
+    it.close()  # abandon mid-epoch (what an exception in fit() does)
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
