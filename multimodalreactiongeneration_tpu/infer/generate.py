@@ -147,8 +147,8 @@ def _init_metaformer_states(model_cfg: dict, batch: int, cache_dtype=jnp.float32
     acoustic_fps = model_cfg["sampling_rate"] / model_cfg["shift"]
     modal_rates = {"audio": acoustic_fps, "motion": model_cfg["pred_fps"]}
     other_modalities = list(model_cfg["modalities"])
-    other_modalities.pop(main_idx)
-    emb_order = [("motion", main_type)] + list(
+    main_modality = other_modalities.pop(main_idx)
+    emb_order = [(main_modality, main_type)] + list(
         zip(other_modalities, emb_types)
     )
 

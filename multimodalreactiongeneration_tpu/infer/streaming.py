@@ -114,7 +114,11 @@ class StreamingSession:
 
     def prime(self, lead_audio: np.ndarray, lead_mp: np.ndarray,
               lead_ms: np.ndarray) -> None:
-        """Warm caches/states on a leading segment (feature-space inputs)."""
+        """Warm caches/states on a leading segment (feature-space inputs)
+        and seed the AR loop with the last lead self-motion frame (same
+        rule as generate_metaformer's init prev / ServingEngine.attach —
+        a zero seed would snap the first streamed frames to the mean
+        pose)."""
         _, self.states = self.model.apply(
             self.params,
             jnp.asarray(lead_audio),
@@ -123,6 +127,7 @@ class StreamingSession:
             states=self.states,
             use_masks=True,
         )
+        self._prev = jnp.asarray(lead_ms)[:, -1:].astype(jnp.float32)
 
     def step(
         self, audio_samples: np.ndarray, partner_motion: np.ndarray

@@ -54,7 +54,15 @@ def generation_speed_log(
     (reference :115-127, reset semantics :369-371)."""
     if os.path.exists(speed_log_path):
         os.remove(speed_log_path)
-    gen = generate_lws if model_type == "lstm_with_sampling" else generate_metaformer
+    if model_type == "lstm_with_sampling":
+        gen = generate_lws
+    elif model_type == "lstmformer":
+        gen = generate_metaformer
+    else:
+        raise ValueError(
+            f"model type {model_type!r} has no streaming generation "
+            "engine; simple_lstm uses infer/simple_generate.py"
+        )
     step = jax.jit(
         lambda p, d: gen(model, p, d, sampling_mask_for(d[1].shape[1], "full"))
     )

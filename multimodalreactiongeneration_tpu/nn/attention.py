@@ -98,8 +98,17 @@ class TorchMHA(nn.Module):
         self.w_q = self.param("q_proj_weight", _xavier_uniform_torch, (e, e))
         self.w_k = self.param("k_proj_weight", _xavier_uniform_torch, (e, kdim))
         self.w_v = self.param("v_proj_weight", _xavier_uniform_torch, (e, vdim))
+        # torch's _reset_parameters xavier-inits only the IN projections;
+        # out_proj keeps nn.Linear's kaiming-uniform default, i.e.
+        # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — match it so from-scratch
+        # runs are distribution-matched to the reference
         self.out_w = self.param(
-            "out_proj_weight", _xavier_uniform_torch, (e, e)
+            "out_proj_weight",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype,
+                -1.0 / jnp.sqrt(shape[1]), 1.0 / jnp.sqrt(shape[1])
+            ),
+            (e, e),
         )
         if self.use_bias:
             self.b_q = self.param("q_proj_bias", nn.initializers.zeros, (e,))

@@ -135,12 +135,9 @@ def _bwd_kernel(
         dh0_ref[:] = dh_scr[:]
 
 
-def _pad_time(x, tc):
-    t = x.shape[1]
-    pad = (-t) % tc
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    return x, t
+from multimodalreactiongeneration_tpu.ops.partitioning import (
+    pad_time as _pad_time,
+)
 
 
 def _fwd_impl(xw, w_hh_t, b_hh, h0):

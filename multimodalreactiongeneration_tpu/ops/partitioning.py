@@ -107,3 +107,17 @@ def shard_batch_dim(
         **kwargs,
     )
     return wrapped
+
+
+def pad_time(x, tc):
+    """Pad axis 1 up to a multiple of tc (the kernels' time chunk).
+
+    Shared by the Pallas LSTM/GRU recurrences (identical padding rule;
+    keeping one copy prevents the twins drifting apart)."""
+    import jax.numpy as jnp
+
+    t = x.shape[1]
+    pad = (-t) % tc
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x, t

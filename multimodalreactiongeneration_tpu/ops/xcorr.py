@@ -28,22 +28,30 @@ def rms_envelope(x: np.ndarray, grid: int) -> np.ndarray:
     return np.sqrt((w**2).mean(axis=-1)).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=2)
-def _xcorr_best_lag(a: jnp.ndarray, b: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    """argmax_l sum_t a[t] * b[t - l]; returns signed lag of b vs a."""
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _xcorr_best_lag(
+    a: jnp.ndarray, b: jnp.ndarray, n_fft: int, pos_max: int
+) -> jnp.ndarray:
+    """argmax_l sum_t a[t] * b[t - l]; returns signed lag of b vs a.
+
+    With zero padding to n_fft >= len(a)+len(b), circular indices
+    0..len(a)-1 are the valid positive lags and n_fft-len(b)+1..n_fft-1
+    wrap to the negative lags -(len(b)-1)..-1 — so the unwrap threshold
+    is len(a) (passed as pos_max), NOT n_fft//2: for unequal-length
+    signals a midpoint split misreads large true positive lags as
+    negative."""
     fa = jnp.fft.rfft(a, n_fft)
     fb = jnp.fft.rfft(b, n_fft)
     corr = jnp.fft.irfft(fa * jnp.conj(fb), n_fft)
-    # lags: 0..n_fft-1 circular; positive lags first, negative wrap at end
     idx = jnp.argmax(corr)
-    return jnp.where(idx > n_fft // 2, idx - n_fft, idx)
+    return jnp.where(idx >= pos_max, idx - n_fft, idx)
 
 
 def best_lag(a: np.ndarray, b: np.ndarray) -> int:
     """Delay of b relative to a: returns s such that b[t] ~= a[t - s]
     (positive s: b starts later than a)."""
     n = int(2 ** np.ceil(np.log2(len(a) + len(b))))
-    return -int(_xcorr_best_lag(jnp.asarray(a), jnp.asarray(b), n))
+    return -int(_xcorr_best_lag(jnp.asarray(a), jnp.asarray(b), n, len(a)))
 
 
 def align_shift(
@@ -77,4 +85,9 @@ def align_shift(
     center = int(np.argmax(np.abs(seg0)))
     lo = max(min(center - window // 2, n - window), 0)
     fine = best_lag(seg0[lo : lo + window], seg1[lo : lo + window])
+    if abs(fine) > 2 * grid:
+        # the residual can only be sub-cell after a correct coarse pass;
+        # a larger "fine" lag means the windowed xcorr locked onto a
+        # repeat period (music bed, repeated utterance) — keep coarse
+        return coarse
     return int(coarse + fine)

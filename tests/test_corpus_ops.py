@@ -307,3 +307,29 @@ def test_grad_accumulation_optimizer():
     assert float(jnp.abs(up1["w"]).sum()) == 0.0
     up2, state = opt.update(g, state, params)
     assert float(jnp.abs(up2["w"]).sum()) > 0.0
+
+
+def test_align_shift_large_lag_unequal_lengths():
+    """A short capture matching deep into a long track: the circular
+    correlation index exceeds n_fft//2 and must unwrap by len(a), not by
+    the FFT midpoint (which misreads it as a bogus near lag)."""
+    rng = np.random.default_rng(7)
+    base = np.zeros(60 * SR, np.float32)
+    for start in rng.integers(0, 59 * SR, size=40):  # burst structure
+        base[start : start + SR // 2] += (
+            0.5 * rng.standard_normal(SR // 2)
+        ).astype(np.float32)
+    lag = 40 * SR  # envelope index far beyond n_fft//2
+    short = base[lag : lag + 10 * SR]
+    est = align_shift(base, short, SR)
+    # short's content begins `lag` samples into base -> shift it by -lag
+    assert abs(est + lag) <= 2 * (SR // 100), est
+
+
+def test_best_lag_index_exceeding_half_fft():
+    from multimodalreactiongeneration_tpu.ops.xcorr import best_lag
+
+    rng = np.random.default_rng(8)
+    a = (0.2 * rng.standard_normal(7000)).astype(np.float32)
+    b = a[6000:6500]  # circular index 6000 > n_fft//2 = 4096, < len(a)
+    assert best_lag(a, b) == -6000
