@@ -21,7 +21,10 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from multimodalreactiongeneration_tpu.corpus.video import VideoSource
+from multimodalreactiongeneration_tpu.corpus.video import (
+    HalfVideoSource,
+    VideoSource,
+)
 from multimodalreactiongeneration_tpu.data.head_io import (
     HeadFrame,
     write_head_frame,
@@ -227,26 +230,6 @@ def estimate_and_stamp(
     return n
 
 
-class _HalfVideo(VideoSource):
-    """One participant's half of a side-by-side dialog recording."""
-
-    def __init__(self, inner: VideoSource, side: int):
-        self.inner = inner
-        self.side = side  # 0 = left/comp, 1 = right/host (split_frame)
-        self.fps = inner.fps
-        w, h = inner.size
-        self.size = (w // 2, h)
-
-    def __iter__(self):
-        from multimodalreactiongeneration_tpu.corpus.video import split_frame
-
-        for frame in self.inner:
-            yield split_frame(frame)[self.side]
-
-    def __len__(self):
-        return len(self.inner)
-
-
 def process_corpus(
     target: str,
     output: str,
@@ -308,7 +291,7 @@ def process_corpus(
         written = 0
         for side, who in ((0, "comp"), (1, "host")):
             out_who = os.path.join(output, session, who)
-            video = _HalfVideo(
+            video = HalfVideoSource(
                 open_video_fn(os.path.join(target, session, movie_name)),
                 side,
             )

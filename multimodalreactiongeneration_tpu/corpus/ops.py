@@ -291,7 +291,10 @@ def quarantine_sessions(
             if rec["count"] <= max_misses:
                 continue
             session = os.path.dirname(rec["path"])
-            if not session.startswith(os.path.abspath(root)) and not os.path.isdir(
+            # skip anything outside root OR not a directory: `or`, not
+            # `and` — the old `and` let an existing dir outside root
+            # through to shutil.move
+            if not session.startswith(os.path.abspath(root)) or not os.path.isdir(
                 session
             ):
                 continue

@@ -545,24 +545,27 @@ class PrefetchLoader:
         END = object()
         cancelled = threading.Event()
 
+        def put_polling(item) -> bool:
+            # poll the flag instead of blocking forever on a full queue:
+            # an abandoned consumer (exception in the train loop,
+            # KeyboardInterrupt) would otherwise leak this thread plus
+            # `depth` collated batches per fit() retry
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for batch in self.loader:
-                    # poll the flag instead of blocking forever on a full
-                    # queue: an abandoned consumer (exception in the train
-                    # loop, KeyboardInterrupt) would otherwise leak this
-                    # thread plus `depth` collated batches per fit() retry
-                    while not cancelled.is_set():
-                        try:
-                            q.put(batch, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if cancelled.is_set():
+                    if not put_polling(batch):
                         return
-                q.put(END)
+                put_polling(END)
             except BaseException as exc:  # surfaced on the consumer side
-                q.put(exc)
+                put_polling(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -85,6 +85,13 @@ def detect_utterance_section(
     first = lambda idx: voiced_first[first_index + idx]
     second = lambda idx: voiced_second[second_index + idx]
 
+    # reference quirk kept bug-for-bug (:70-71): the SECOND-unit params
+    # are shadowed with FRAME-unit ints and the recursion below receives
+    # the frame values, so recursive levels re-scale by fft_rate again
+    # (1 s -> 100 frames -> 10,000 frames at depth 1). The interlocutor
+    # probe therefore merges far more aggressively than the top level.
+    # Intentional: these thresholds DEFINE the dataset's turn boundaries;
+    # reference-built manifests and ours must interchange.
     pause_v = int(fft_rate * pause_with_voice)
     pause_nv = int(fft_rate * pause_without_voice)
 
@@ -109,8 +116,8 @@ def detect_utterance_section(
                 second_index + second_progress,
                 first_index + first_progress + 1,
                 fft_rate,
-                pause_with_voice,
-                pause_without_voice,
+                pause_v,
+                pause_nv,
                 min_length,
             )
             if _end - _start < int(fft_rate * min_length):

@@ -191,14 +191,22 @@ def simple_lstm_loss(
     motion_feature: jnp.ndarray,
     model_cfg: dict,
     metrics_cfg: dict,
+    row_mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """training_step loss (reference :239-255). Returns (loss, scaled y)."""
+    """training_step loss (reference :239-255). Returns (loss, masked
+    scaled y). ``row_mask`` (broadcastable, 1 = real row) zeroes rows the
+    device batcher appended as -100 filler — applied AFTER split_and_form
+    so the all_static delta recompute cannot leak filler into the loss."""
     delta_order = metrics_cfg["delta_order"]
     if model_cfg.get("all_static", False):
         base = (
             int(metrics_cfg["use_centroid"]) + int(metrics_cfg["use_angle"])
         ) * 3
         y = split_and_form(motion_feature, y, delta_order, base)
+    if row_mask is not None:
+        m = row_mask.astype(y.dtype)
+        y = y * m
+        target = target * m
     scaler = delta_loss_scaler(
         y.shape[-1], delta_order, model_cfg.get("delta_loss_scale", 1.0)
     )

@@ -223,14 +223,25 @@ def windowed_step_fns(
         metrics_cfg["delta_order"],
     )
 
+    def row_mask(target):
+        """Rows _stage appended to fill the data axis are all -100; the
+        windowed loss has no element mask (fixed shapes), so zero those
+        rows out of pred AND target (full-tensor-mean denominator keeps
+        them, same rule as the streaming -100 masking)."""
+        real = ~jnp.all(target == PADDING_VALUE, axis=tuple(range(1, target.ndim)))
+        return real.reshape((-1,) + (1,) * (target.ndim - 1))
+
     def forward_loss(params, batch, deterministic, rng):
         fbank, motion, target = batch
         kwargs = {} if deterministic else {"rngs": {"dropout": rng}}
         y = model.apply(
             params, fbank, motion, deterministic=deterministic, **kwargs
         )
-        loss, y = simple_lstm_loss(y, target, motion, model_cfg, metrics_cfg)
-        return loss, (y, target)
+        m = row_mask(target)
+        loss, y = simple_lstm_loss(
+            y, target, motion, model_cfg, metrics_cfg, row_mask=m
+        )
+        return loss, (y, target * m.astype(target.dtype))
 
     def train_step(params, opt_state, batch, rng):
         (loss, (y, t)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
@@ -253,6 +264,9 @@ def windowed_step_fns(
                 int(metrics_cfg["use_centroid"]) + int(metrics_cfg["use_angle"])
             ) * 3
             y = split_and_form(motion, y, metrics_cfg["delta_order"], base)
+        m = row_mask(target).astype(y.dtype)
+        y = y * m
+        target = target * m
         loss = mse_loss(y, target)
         return loss, per_slice_sq_err(y, target, target_dict)
 
@@ -376,11 +390,22 @@ class Trainer:
         use_ckpt = self.callbacks.get("use_checkpoint", True) and self.ckpt_dir
 
         result = FitResult(ckpt_dir=self.ckpt_dir)
-        saver = (
-            ckpt_lib.TopKCheckpointer(self.ckpt_dir, top_k=top_k)
-            if use_ckpt
-            else None
-        )
+        # reference monitors: V{epoch}-{val_loss} for every trainer; the
+        # streaming trainers additionally keep top-k on G{epoch}-{genrt}
+        # and T{epoch}-{train_loss} (lstmformer/trainer.py:33-57)
+        savers = {}
+        if use_ckpt:
+            savers["V"] = ckpt_lib.TopKCheckpointer(
+                self.ckpt_dir, top_k=top_k, monitor="V"
+            )
+            if self.generation_eval is not None:
+                savers["T"] = ckpt_lib.TopKCheckpointer(
+                    self.ckpt_dir, top_k=top_k, monitor="T"
+                )
+                savers["G"] = ckpt_lib.TopKCheckpointer(
+                    self.ckpt_dir, top_k=top_k, monitor="G"
+                )
+        saver = savers.get("V")
         rng = jax.random.PRNGKey(self.seed)
         bad_epochs = 0
         step = 0
@@ -440,12 +465,20 @@ class Trainer:
             # ModelCheckpoint semantics); avoids V{epoch}-nan checkpoints
             if saver is not None and not np.isnan(val_loss):
                 saver.maybe_save(params, opt_state, epoch, val_loss)
+            if "T" in savers and np.isfinite(train_loss):
+                savers["T"].maybe_save(params, opt_state, epoch, train_loss)
+            if "G" in savers and np.isfinite(record.get("genrt_loss", np.nan)):
+                savers["G"].maybe_save(
+                    params, opt_state, epoch, record["genrt_loss"]
+                )
             if val_loss < result.best_val_loss:
                 result.best_val_loss = val_loss
                 bad_epochs = 0
             elif not np.isnan(val_loss):
                 bad_epochs += 1
-                if use_early and bad_epochs > patience:
+                # >= : Lightning's EarlyStopping stops once wait_count
+                # reaches patience (wait_count >= patience)
+                if use_early and bad_epochs >= patience:
                     break
         if saver is not None:
             saver.save_last(params, opt_state, result.epochs_run - 1)

@@ -363,3 +363,32 @@ def test_training_is_deterministic(loaders, tmp_path):
         return [(h["train_loss"], h["val_loss"]) for h in result.history]
 
     assert one_fit("a") == one_fit("b")
+
+
+def test_windowed_loss_masks_stage_filler_rows():
+    """Rows appended by Trainer._stage (-100 filler) must contribute
+    nothing to the windowed loss numerator (reference semantics: mask
+    both sides, full-tensor-mean denominator)."""
+    import jax.numpy as jnp
+
+    from multimodalreactiongeneration_tpu.models.simple_lstm import (
+        simple_lstm_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 1, 18)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(2, 1, 18)).astype(np.float32))
+    motion = jnp.asarray(rng.normal(size=(2, 4, 18)).astype(np.float32))
+    cfg = {"all_static": False, "delta_loss_scale": 1.0}
+    mcfg = {"use_centroid": True, "use_angle": True, "delta_order": 2}
+    base, _ = simple_lstm_loss(y, t, motion, cfg, mcfg)
+
+    pad = jnp.full((1, 1, 18), -100.0)
+    y2 = jnp.concatenate([y, jnp.asarray(rng.normal(size=(1, 1, 18)),
+                                         jnp.float32)])
+    t2 = jnp.concatenate([t, pad])
+    motion2 = jnp.concatenate([motion, jnp.full((1, 4, 18), -100.0)])
+    mask = (~jnp.all(t2 == -100.0, axis=(1, 2))).reshape(-1, 1, 1)
+    masked, _ = simple_lstm_loss(y2, t2, motion2, cfg, mcfg, row_mask=mask)
+    # filler contributes 0 to the numerator; denominator grows 2 -> 3
+    np.testing.assert_allclose(float(masked), float(base) * 2 / 3, rtol=1e-5)
