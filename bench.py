@@ -18,10 +18,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# persistent XLA compile cache: the decode program takes minutes to
+# build cold; with the cache warm a full bench run is ~1 min
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "MRGEN_JAX_CACHE", os.path.expanduser("~/.cache/mrgen-jax-cache")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from multimodalreactiongeneration_tpu.infer.generate import (
     generate_metaformer,
