@@ -84,8 +84,12 @@ class Config:
         return [self[k] for k in self._data]
 
     def get(self, key: str, default: Any = None) -> Any:
-        if key in self._data and self._data[key] != MANDATORY:
-            return self._data[key]
+        """Default only for ABSENT keys. A stored ``???`` raises like
+        OmegaConf's MissingMandatoryValue — silently substituting a
+        default would defeat the mandatory contract (e.g. a run without
+        ckpt_path checkpointing into ./ckpts unnoticed)."""
+        if key in self._data:
+            return self[key]
         return default
 
     # -- attribute protocol ------------------------------------------------

@@ -29,15 +29,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+    # run make unconditionally (a no-op when the .so is current): an
+    # exists-only check would silently keep loading a stale binary after
+    # mrgen_io.cpp edits. Failure only matters if no library exists.
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -118,13 +118,18 @@ long mrgen_read_batch_f32(const char* paths, const long* path_offsets,
   return 0;
 }
 
-// Framed energy (un-windowed), the VAD front half: writes
-// (len-n_fft)/hop + 1 values. Returns the frame count.
+// Framed energy (un-windowed): writes (len-n_fft)/hop + 1 values and
+// returns the frame count. OPTIONAL utility (host-side prefiltering /
+// benchmarks); the production VAD (data/segmentation.py) stays pure
+// NumPy on purpose — its accumulation order defines dataset turn
+// boundaries, and a ulp-level difference at the threshold could flip a
+// frame.
 long mrgen_frame_energy(const float* wave, long len, long n_fft, long hop,
                         float* out) {
   if (len < n_fft) return 0;
   long num = (len - n_fft) / hop + 1;
-  // rolling sum over hop-strided windows
+  // each window summed independently (windows overlap n_fft-hop
+  // samples; a true rolling sum would drift in float32)
   for (long t = 0; t < num; ++t) {
     const float* w = wave + t * hop;
     float acc = 0.0f;

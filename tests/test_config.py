@@ -34,7 +34,12 @@ def test_mandatory_raises():
     cfg = from_dict(BASE)
     with pytest.raises(MandatoryValueError):
         _ = cfg.data_dir
-    assert cfg.get("data_dir", "fallback") == "fallback"
+    # .get must raise too (OmegaConf MissingMandatoryValue semantics):
+    # a default here would silently bypass the mandatory contract
+    with pytest.raises(MandatoryValueError):
+        cfg.get("data_dir", "fallback")
+    # absent keys still take the default
+    assert cfg.get("not_a_key", "fallback") == "fallback"
 
 
 def test_overrides_typed():
