@@ -1,0 +1,332 @@
+"""Real multi-process multi-host dryrun: N coordinated jax processes.
+
+The reference's DDP is multi-process by construction — Lightning spawns
+one process per GPU and joins them over NCCL (trainer.strategy: ddp,
+/root/reference/mr_gen/model/lstmformer/config.yaml:121,127). The
+TPU-native replacement (parallel/distributed.py) had, until this module,
+only ever executed single-process with `jax.distributed.initialize`
+mocked. Here the multi-host path runs FOR REAL on one box:
+
+  * ``launch_multihost(n)`` spawns n fresh python processes, each forcing
+    ``local_devices`` virtual CPU devices, joined through a real
+    ``jax.distributed.initialize`` coordinator on 127.0.0.1 with gloo
+    cross-process collectives.
+  * every process builds the IDENTICAL global batch, keeps only its rows
+    via ``HostRowShard``, and stages them through ``Trainer._stage``'s
+    ``make_array_from_process_local_data`` branch into one global
+    8-device batch.
+  * each process runs the SAME jitted sharded train step (SPMD); the
+    gradient all-reduce crosses the process boundary through gloo.
+  * ``verify_multihost()`` asserts every process reports the same loss
+    as a single-process 8-device run of the identical step — proving
+    batch assembly and the cross-process collective are correct.
+
+This is the exact production topology (one process per host, k local
+devices each) with TCP standing in for DCN.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import subprocess
+import sys
+import tempfile
+from typing import Dict, List, Tuple
+
+# --- shared dryrun construction (used by __graft_entry__ and workers) ---
+# Tiny Metaformer matching the flagship model's full config surface; the
+# loss value below is the cross-check constant for every dryrun flavor.
+
+DRYRUN_MODEL_CFG = dict(
+    main_modal_idx=2,
+    hidden_size=64,
+    num_block=2,
+    dropout=0.0,
+    num_layerd=1,
+    encoder_num_layer=2,
+    num_internal_layer=1,
+    residual=True,
+    residual_layer_norm=True,
+    bias=True,
+    emb_mixers=["lstm", "lstm", "lstm"],
+    bottleneck_size=16,
+    nonlinearity="none",
+    ffn_nonlinearity="relu",
+    proj_size=0,
+    num_heads=4,
+    add_bias_kv=False,
+    add_zero_attn=False,
+    max_context_len=10,
+    repeat_with_encoder=False,
+    interlayer_residual=False,
+    interlayer_residual_norm=True,
+    sampling_rate=16000,
+    shift=160,
+    pred_fps=12.5,
+    modalities=["audio", "motion", "motion"],
+    use_centroid=True,
+    use_angle=True,
+    nmels=26,
+    delta_order=2,
+    loss_type="huber",
+    loss_reduction="mean",
+    huber_delta=1.0,
+    delta_loss_scale=1.0,
+)
+DRYRUN_METRICS_CFG = dict(use_centroid=True, use_angle=True, delta_order=2)
+DRYRUN_OPTIM_DICT = dict(
+    use_optimizer="adam",
+    momentum=0.9,
+    weight_decay=1e-2,
+    lr=1e-4,
+    use_lr_sched=False,
+    batch_size=8,
+    max_epochs=10,
+)
+RATIO = 8  # audio frames (100 Hz) per motion frame (12.5 fps)
+GLOBAL_BATCH = 8
+SEQ_T = 8
+LEAD_T = 4
+
+
+def example_inputs(batch: int, t: int, lead: int, key):
+    """The streaming 6-input tuple at tiny shapes (deterministic)."""
+    import jax
+
+    ks = jax.random.split(key, 6)
+    return (
+        jax.random.normal(ks[0], (batch, t * RATIO, 81)),
+        jax.random.normal(ks[1], (batch, t, 18)),
+        jax.random.normal(ks[2], (batch, t, 18)),
+        jax.random.normal(ks[3], (batch, lead * RATIO, 81)),
+        jax.random.normal(ks[4], (batch, lead, 18)),
+        jax.random.normal(ks[5], (batch, lead, 18)),
+    )
+
+
+def build_global_batch():
+    """The full 7-pair (data, lengths) batch, identical on every process."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    inputs = example_inputs(GLOBAL_BATCH, SEQ_T, LEAD_T, jax.random.PRNGKey(0))
+    target = jax.random.normal(jax.random.PRNGKey(2), (GLOBAL_BATCH, SEQ_T, 18))
+    lengths = np.full((GLOBAL_BATCH,), SEQ_T, np.int32)
+    return [(np.asarray(x), lengths) for x in inputs] + [
+        (np.asarray(target), lengths)
+    ], inputs
+
+
+def sharded_train_step_loss() -> float:
+    """One full sharded train step over the live global mesh.
+
+    Runs identically single- or multi-process: the batch is row-sharded
+    per process by HostRowShard, assembled by Trainer._stage (the
+    multi-process branch when process_count > 1), and the jitted step is
+    executed SPMD. Returns the global loss (batch mean — invariant to
+    the row permutation HostRowShard induces across processes).
+    """
+    import jax
+    import numpy as np
+
+    from multimodalreactiongeneration_tpu.data.dataset import HostRowShard
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+    from multimodalreactiongeneration_tpu.parallel.distributed import (
+        global_data_mesh,
+    )
+    from multimodalreactiongeneration_tpu.train.harness import (
+        Trainer,
+        streaming_step_fns,
+    )
+    from multimodalreactiongeneration_tpu.train.optim import build_optimizer
+    from multimodalreactiongeneration_tpu.utils.config import from_dict
+
+    model = Metaformer(cfg=DRYRUN_MODEL_CFG)
+    batch, inputs = build_global_batch()
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *inputs)
+    optim_cfg = from_dict(DRYRUN_OPTIM_DICT)
+    optimizer = build_optimizer(optim_cfg)
+    train_step, eval_step = streaming_step_fns(
+        model,
+        DRYRUN_MODEL_CFG,
+        DRYRUN_METRICS_CFG,
+        optimizer,
+        mask_self_motion_input=True,
+    )
+    mesh = global_data_mesh()
+    with tempfile.TemporaryDirectory() as log_dir:
+        trainer = Trainer(
+            model,
+            train_step,
+            eval_step,
+            optimizer,
+            optim_cfg,
+            callbacks_cfg={"use_checkpoint": False},
+            log_dir=log_dir,
+            mesh=mesh,
+        )
+        params = trainer._place_params(params)
+        opt_state = jax.jit(optimizer.init)(params)
+        shard = HostRowShard(
+            [batch], jax.process_index(), jax.process_count()
+        )
+        local = next(iter(shard))
+        staged = trainer._stage(local)
+        new_params, _, loss, _ = trainer._train_step(
+            params, opt_state, staged, jax.random.PRNGKey(3)
+        )
+        jax.block_until_ready(new_params)
+        loss = float(loss)
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    return loss
+
+
+# --- worker entry (fresh process; env set BEFORE jax import) ---
+
+
+def run_worker(
+    process_id: int, num_processes: int, port: int, local_devices: int
+) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get("MRGEN_JAX_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if num_processes > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from multimodalreactiongeneration_tpu.parallel.distributed import (
+            initialize_multihost,
+        )
+
+        initialize_multihost(
+            f"127.0.0.1:{port}",
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        assert jax.process_count() == num_processes
+    loss = sharded_train_step_loss()
+    print(
+        f"MULTIHOST process={jax.process_index()}/{jax.process_count()} "
+        f"devices={len(jax.devices())} loss={loss:.5f}",
+        flush=True,
+    )
+
+
+# --- launcher (parent process; spawns coordinated workers) ---
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch_multihost(
+    num_processes: int = 2,
+    local_devices: int = 4,
+    timeout: float = 600.0,
+) -> Dict[int, float]:
+    """Spawn num_processes coordinated workers; return {process_id: loss}."""
+    port = _free_port()
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env.pop("JAX_PLATFORMS", None)
+    env.setdefault(
+        "MRGEN_JAX_CACHE",
+        os.path.expanduser("~/.cache/mrgen-jax-test-cache"),
+    )
+    procs = []
+    for pid in range(num_processes):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "multimodalreactiongeneration_tpu.parallel.multihost_dryrun",
+                    "--process-id",
+                    str(pid),
+                    "--num-processes",
+                    str(num_processes),
+                    "--port",
+                    str(port),
+                    "--local-devices",
+                    str(local_devices),
+                ],
+                cwd=repo_root,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses: Dict[int, float] = {}
+    for rc, out, err in outs:
+        if rc != 0:
+            raise RuntimeError(
+                f"multihost worker failed (rc={rc}):\n{out}\n{err[-2000:]}"
+            )
+        m = re.search(r"MULTIHOST process=(\d+)/\d+ devices=\d+ loss=([\d.eE+-]+)", out)
+        if not m:
+            raise RuntimeError(f"worker printed no loss:\n{out}\n{err[-2000:]}")
+        losses[int(m.group(1))] = float(m.group(2))
+    if sorted(losses) != list(range(num_processes)):
+        raise RuntimeError(f"expected {num_processes} distinct ranks, got {losses}")
+    return losses
+
+
+def verify_multihost(
+    num_processes: int = 2, local_devices: int = 4
+) -> Tuple[float, Dict[int, float]]:
+    """2-process run vs single-process 8-device reference, same step.
+
+    Returns (single_process_loss, {rank: loss}) after asserting all
+    agree to 1e-4 — executing parallel/distributed.py, HostRowShard and
+    Trainer._stage's multi-process branch for real.
+    """
+    single = launch_multihost(
+        num_processes=1, local_devices=num_processes * local_devices
+    )[0]
+    multi = launch_multihost(
+        num_processes=num_processes, local_devices=local_devices
+    )
+    for rank, loss in multi.items():
+        assert abs(loss - single) < 1e-4, (
+            f"rank {rank} loss {loss} != single-process loss {single}"
+        )
+    return single, multi
+
+
+def main(argv: List[str]) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    args = ap.parse_args(argv)
+    run_worker(args.process_id, args.num_processes, args.port, args.local_devices)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
