@@ -41,6 +41,12 @@ def _install_lightning_stub():
 
         current_epoch = 0
 
+        def log(self, *a, **kw):
+            pass
+
+        def log_dict(self, *a, **kw):
+            pass
+
     pl = types.ModuleType("pytorch_lightning")
     pl.LightningModule = _LightningModule
     sys.modules.setdefault("pytorch_lightning", pl)
@@ -62,6 +68,9 @@ def _install_lightning_stub():
 
         def clone(self, *a, **kw):
             return self
+
+        def __call__(self, *a, **kw):
+            return None
 
     tm.Metric = _Metric
     tm.MeanSquaredError = type("MeanSquaredError", (_Metric,), {})
@@ -93,6 +102,11 @@ def _install_lightning_stub():
     sys.modules.setdefault(
         "mr_gen.model.lstm_with_sampling.dataloader", lws_dl
     )
+    # same story for the lstmformer dataloader (lstmformer.py:11 imports
+    # only its PADDING_VALUE constant, dataloader.py:16-17)
+    lf_dl = types.ModuleType("mr_gen.model.lstmformer.dataloader")
+    lf_dl.PADDING_VALUE = -100
+    sys.modules.setdefault("mr_gen.model.lstmformer.dataloader", lf_dl)
 
 
 class AttrDict(dict):
