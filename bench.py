@@ -73,10 +73,15 @@ BENCH_CFG = dict(
     delta_order=2,
 )
 
-BATCH = 8  # batched multi-dialog decode (BASELINE config #3)
+BATCH = 16  # batched multi-dialog decode (BASELINE config #3); 16 is the
+# single-chip sweet spot WITH the bf16 KV default: the f32 KV working set
+# (~184 MB ring buffers) falls off the VMEM cliff at this batch
+# (16.5k frames/s) while bf16 streams at 41-43k; batch 32 regresses to
+# ~37k (KV doubles again), batch 8 leaves throughput on the table (38k)
 FRAMES = 250  # 20 s @ 12.5 fps (motion.max_len)
 LEAD = 12  # 24-frame leading warmup at pred_shift 2
 RATIO = 8
+SAMPLES = int(os.environ.get("MRGEN_BENCH_SAMPLES", "3"))
 
 
 def make_batch(key):
@@ -146,13 +151,14 @@ def time_decode(decode, params, batch, n_small=2, n_large=8, estimates=3):
 
 
 # Reference's own CPU-PyTorch code at the identical workload, measured on
-# this box (2026-08-16): 197.11 frames/s, torch 2.13.0+cpu, 1 CPU.
-# Re-derive with `python benchmarks/torch_baseline.py`; see BASELINE.md.
-# The recorded workload is asserted in main(): changing BATCH/FRAMES/
-# BENCH_CFG invalidates the denominator, so re-measure and update both.
+# this box (2026-08-17): 308.64 frames/s at batch 16, torch 2.13.0+cpu,
+# 1 CPU. Re-derive with `python benchmarks/torch_baseline.py --batch 16`;
+# see BASELINE.md. The recorded workload is asserted in measure():
+# changing BATCH/FRAMES/BENCH_CFG invalidates the denominator, so
+# re-measure and update both.
 TORCH_CPU_REFERENCE = {
-    "fps": 197.11,
-    "batch": 8,
+    "fps": 308.64,
+    "batch": 16,
     "frames": 250,
     "lead": 12,
     "hidden": 256,
@@ -160,7 +166,7 @@ TORCH_CPU_REFERENCE = {
 }
 
 
-def main():
+def measure():
     ref = TORCH_CPU_REFERENCE
     assert (BATCH, FRAMES, LEAD) == (
         ref["batch"], ref["frames"], ref["lead"]
@@ -176,33 +182,32 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
     mask = sampling_mask_for(FRAMES, "full")
 
+    # bf16 KV ring buffers (the generate_metaformer inference default):
+    # f32 at this batch spills past VMEM and collapses to ~16.5k
     decode = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
     dt_scan = time_decode(decode, params, batch)
     fps_chip = BATCH * FRAMES / dt_scan
 
-    print(
-        json.dumps(
-            {
-                "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
-                "value": round(fps_chip, 2),
-                "unit": "frames/s/chip (batch 8 x 250 frames, metaformer-256x5)",
-                "vs_baseline": round(fps_chip / ref["fps"], 2),
-            }
-        )
-    )
+    return {
+        "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
+        "value": round(fps_chip, 2),
+        "unit": "frames/s/chip (batch 16 x 250 frames, metaformer-256x5, bf16 KV)",
+        "vs_baseline": round(fps_chip / ref["fps"], 2),
+    }
 
 
-if __name__ == "__main__":
+def child_main():
+    """One fresh-process measurement (crash-retried once)."""
     import sys
 
     if "--inner" in sys.argv:
-        main()  # retry child: fail loudly this time
+        print(json.dumps(measure()))  # retry child: fail loudly this time
         raise SystemExit(0)
     # the tunneled TPU worker occasionally crashes/restarts mid-run
     # ("TPU worker process crashed or restarted"); one clean retry in a
     # fresh process recovers it
     try:
-        main()
+        print(json.dumps(measure()))
     except Exception as exc:  # noqa: BLE001 - crash class varies
         import time as _time
 
@@ -212,4 +217,72 @@ if __name__ == "__main__":
         # exec REPLACES this process: on a directly-attached TPU the
         # parent's live client would otherwise hold the chip and the
         # child's backend init would fail with device-in-use
-        os.execv(sys.executable, [sys.executable, __file__, "--inner"])
+        os.execv(
+            sys.executable, [sys.executable, __file__, "--measure", "--inner"]
+        )
+
+
+def parent_main():
+    """Median over SAMPLES fresh-process measurements.
+
+    Fresh-process runs of the same workload historically span ~36k-43k
+    with rare ~22k degraded-runtime outliers; a single sample could
+    snapshot an outlier and misrepresent the build. Each sample runs in
+    its own subprocess (sequentially — one chip) and the record with the
+    median value is printed, so the driver's snapshot is robust to one
+    bad draw. Set MRGEN_BENCH_SAMPLES=1 for a quick single run.
+    """
+    import subprocess
+    import sys
+
+    if SAMPLES <= 1:
+        child_main()
+        return
+    records = []
+    attempts = 0
+    # per-sample wall cap: a healthy sample is ~2.5 min warm / ~10 min
+    # cold-compile; the tunnel occasionally wedges a process in a
+    # never-returning RPC ("TPU worker crashed" without an exception) —
+    # kill it and move on rather than hanging the whole bench
+    sample_timeout = float(os.environ.get("MRGEN_BENCH_SAMPLE_TIMEOUT", "900"))
+    while len(records) < SAMPLES and attempts < SAMPLES + 2:
+        attempts += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=sample_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench sample attempt {attempts} timed out after "
+                f"{sample_timeout:.0f}s (wedged tunnel); skipping",
+                file=sys.stderr,
+            )
+            continue
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            rec = json.loads(line)
+            records.append(rec)
+            print(
+                f"bench sample {len(records)}/{SAMPLES}: {rec['value']}",
+                file=sys.stderr,
+            )
+    if not records:
+        raise RuntimeError("all bench subprocess samples failed")
+    records.sort(key=lambda r: r["value"])
+    # lower-middle on even counts: when a sample failed, do not let the
+    # 2-sample "median" read as the more flattering of the two
+    print(json.dumps(records[(len(records) - 1) // 2]))
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--measure" in sys.argv:
+        child_main()
+    else:
+        parent_main()

@@ -8,7 +8,17 @@ of wall clock. This is the BASELINE.md "full databuild" row's
 denominator-free metric (the reference path needs ffmpeg+mediapipe
 binaries and is unmeasurable here; see BASELINE.md).
 
+The pipeline is disk-read-bound on a 1-core box, so throughput swings
+~2x with page-cache state. The protocol makes that explicit: the build
+runs TWICE on the same corpus — the first pass's wav reads populate the
+page cache, the second pass measures the cache-warm steady state — and
+both numbers are reported (``value`` = warm, the stable one).
+``--drop-caches`` additionally empties the kernel page cache before the
+first pass (needs root; echo 1 > /proc/sys/vm/drop_caches) so the first
+pass is a true cold read instead of "whatever the synthesis left warm".
+
 Usage: python benchmarks/databuild_bench.py [--sessions 8] [--seconds 600]
+       [--drop-caches]
 """
 
 import argparse
@@ -34,6 +44,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=600.0)
     ap.add_argument("--n-jobs", type=int, default=1)
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--drop-caches", action="store_true",
+                    help="empty the kernel page cache before the first "
+                         "pass (needs root) for a true cold read")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="mrgen-dbbench-")
@@ -43,10 +56,20 @@ def main():
             n_sessions=args.sessions,
             seconds=args.seconds,
         )
-        cache = os.path.join(root, "cache")
         cfg = dict(DATA_CFG, data_dir=corpus, no_cache_build=True)
 
-        def run():
+        page_cache_state = "as-is"
+        if args.drop_caches:
+            try:
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("1\n")
+                page_cache_state = "dropped"
+            except OSError as exc:
+                print(f"drop_caches unavailable ({exc}); first pass is "
+                      "page-cache as-is", file=sys.stderr)
+
+        def run(tag):
+            cache = os.path.join(root, f"cache-{tag}")
             return DataBuilderNX(cfg, cache_root=cache, n_jobs=args.n_jobs)
 
         if args.profile:
@@ -55,13 +78,20 @@ def main():
 
             prof = cProfile.Profile()
             t0 = time.perf_counter()
-            builder = prof.runcall(run)
-            dt = time.perf_counter() - t0
+            builder = prof.runcall(run, "first")
+            dt_first = time.perf_counter() - t0
             pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
         else:
             t0 = time.perf_counter()
-            builder = run()
-            dt = time.perf_counter() - t0
+            builder = run("first")
+            dt_first = time.perf_counter() - t0
+
+        # second pass on the now page-cache-warm corpus (fresh build
+        # cache dir, so the full pipeline re-runs — only the disk state
+        # differs); this is the stable number
+        t0 = time.perf_counter()
+        builder = run("warm")
+        dt_warm = time.perf_counter() - t0
 
         n_manifests = sum(
             len(files)
@@ -72,9 +102,14 @@ def main():
             json.dumps(
                 {
                     "metric": "databuild_dialog_hours_per_min",
-                    "value": round(dialog_hours / (dt / 60.0), 2),
-                    "unit": "dialog-hours/min",
-                    "wall_s": round(dt, 2),
+                    "value": round(dialog_hours / (dt_warm / 60.0), 2),
+                    "unit": "dialog-hours/min (page-cache warm)",
+                    "first_pass_value": round(
+                        dialog_hours / (dt_first / 60.0), 2
+                    ),
+                    "first_pass_page_cache": page_cache_state,
+                    "wall_s_warm": round(dt_warm, 2),
+                    "wall_s_first": round(dt_first, 2),
                     "sessions": args.sessions,
                     "manifests": n_manifests,
                 }

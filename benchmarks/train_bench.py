@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time fwd-only / fwd+bwd / block-0-only "
+                         "components to show where the step goes")
     args = ap.parse_args()
     # resolve_impl consults the env at trace time (nn/recurrent.py:34-50)
     os.environ["MRGEN_RNN_IMPL"] = args.impl
@@ -102,12 +105,89 @@ def main():
         slopes.append(max((t_large - t_small) / (n_large - n_small), 1e-9))
     ms = float(np.median(slopes)) * 1e3
 
-    print(json.dumps({
+    # MFU: XLA's own flop count for the compiled step over the measured
+    # time, against v5e bf16 peak (197 TFLOP/s). The model is a stack of
+    # SEQUENTIAL recurrences (audio encoder: 5 layers x 1920 scan steps
+    # of B x 256 matmuls), so low MFU here means latency-bound scan
+    # iterations, not a missing optimization — see --breakdown.
+    V5E_PEAK_TFLOPS = 197.0
+    mfu_pct = tflops_per_s = None
+    try:
+        compiled = step.lower(params, opt_state, batch,
+                              jax.random.PRNGKey(0)).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            tflops_per_s = flops / (ms / 1e3) / 1e12
+            mfu_pct = 100.0 * tflops_per_s / V5E_PEAK_TFLOPS
+    except Exception as exc:  # noqa: BLE001 - backend-dependent API
+        print(f"cost_analysis unavailable: {exc}", file=sys.stderr)
+
+    record = {
         "metric": "metaformer_train_step_ms",
         "value": round(ms, 2),
         "unit": f"ms/step (B{b} x T{t}, 256x5 lstm-emb, impl={args.impl}, "
                 f"{args.precision}, fwd+bwd+adam)",
-    }))
+    }
+    if mfu_pct is not None:
+        record["tflops_per_s"] = round(tflops_per_s, 2)
+        record["mfu_pct_v5e_bf16_peak"] = round(mfu_pct, 2)
+
+    if args.breakdown:
+        def time_component(fn, params_, batch_):
+            """Slope timing with bit-changing input perturbation (the
+            tunneled runtime memoizes executions by input content, so
+            repeating identical inputs would time the cache)."""
+            out = fn(params_, batch_)
+            float(out[0])
+
+            def run_n(n, out):
+                bt = batch_
+                t0 = time.perf_counter()
+                for i in range(n):
+                    eps = jnp.tanh(out[0]) * 1e-3 + i * 1e-4
+                    bt = [(x + eps, l) for x, l in bt]
+                    out = fn(params_, bt)
+                float(out[0])
+                return time.perf_counter() - t0, out
+
+            t_s, out = run_n(n_small, out)
+            t_l, out = run_n(n_large, out)
+            return (t_l - t_s) / (n_large - n_small) * 1e3
+
+        _, eval_step = streaming_step_fns(
+            model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True,
+            compute_dtype=compute_dtype,
+        )
+        fwd = jax.jit(eval_step)
+        record["fwd_ms"] = round(time_component(fwd, params, batch), 2)
+
+        grad_fn = jax.jit(
+            lambda p, bt: jax.value_and_grad(
+                lambda pp: eval_step(pp, bt)[0]
+            )(p)
+        )
+        record["fwd_bwd_ms"] = round(
+            time_component(grad_fn, params, batch), 2
+        )
+
+        # block-0-only model: carries ALL three modality encoders (the
+        # audio encoder alone is a 5-layer x 1920-step recurrence);
+        # blocks 1..4 add main-emb + integrators + FFN per block
+        cfg1 = dict(cfg, num_block=1)
+        model1 = Metaformer(cfg=cfg1)
+        params1 = jax.jit(model1.init)(jax.random.PRNGKey(1), *data[:6])
+        _, eval1 = streaming_step_fns(
+            model1, cfg1, metrics_cfg, optimizer,
+            mask_self_motion_input=True, compute_dtype=compute_dtype,
+        )
+        fwd1 = jax.jit(eval1)
+        record["fwd_block0_only_ms"] = round(
+            time_component(fwd1, params1, batch), 2
+        )
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -131,7 +131,9 @@ def generate_lws(
 # ---------------------------------------------------------------------------
 
 
-def _init_metaformer_states(model_cfg: dict, batch: int, cache_dtype=jnp.float32) -> List[dict]:
+def _init_metaformer_states(
+    model_cfg: dict, batch: int, cache_dtype=jnp.bfloat16
+) -> List[dict]:
     """Decode states: crm KV ring buffers sized by the per-modality
     context budgets (lstmformer.py:98-110); emb states start None."""
     budgets = context_budgets(model_cfg)
@@ -203,17 +205,21 @@ def generate_metaformer(
     params,
     batch_data: Tuple[jnp.ndarray, ...],
     sampling_mask: jnp.ndarray,
-    cache_dtype=jnp.float32,
+    cache_dtype=jnp.bfloat16,
     unroll: int = 5,
 ) -> jnp.ndarray:
     """Rollout for the Metaformer with KV ring-buffer caches.
 
-    cache_dtype=bfloat16 halves the K/V buffer HBM traffic; at unroll=1
-    that was the bottleneck (f32 23.2k -> bf16 33.8k frames/s/chip on
-    v5e) but at the default unroll=5 the reads overlap compute and bf16
-    measures NEUTRAL (30.7k vs 30.5k), so f32 — which keeps free-run
-    rollouts bit-stable — is the right default. Attention accumulates in
-    f32 either way.
+    cache_dtype=bfloat16 halves the K/V buffer HBM traffic and is the
+    INFERENCE DEFAULT: the decode step is bound by streaming the ring
+    buffers (audio budget 1000 slots x 5 blocks dominates), and at the
+    production size the per-batch numbers on v5e are
+      batch 8:  f32 36.8k  vs bf16 38.3k frames/s/chip
+      batch 16: f32 16.5k (the KV working set falls off the VMEM cliff)
+                vs bf16 41-43k  <- the headline bench point
+    Attention accumulates in f32 either way. Train-time rollouts
+    (scheduled sampling, generation_eval) pin cache_dtype=float32 to
+    keep training numerics bit-matched to the f32 reference.
 
     unroll=5 replicates the scan body so XLA overlaps the per-step
     scheduling with compute: 23.1k -> 36.8k frames/s/chip on v5e at the

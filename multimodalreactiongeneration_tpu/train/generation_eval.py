@@ -8,9 +8,11 @@ one compiled program per padded shape.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from multimodalreactiongeneration_tpu.infer.generate import (
@@ -24,7 +26,13 @@ from multimodalreactiongeneration_tpu.train.losses import build_loss
 
 def make_generation_eval(model, model_type: str, model_cfg) -> Callable:
     lossfun = build_loss(model_cfg)
-    gen = generate_lws if model_type == "lstm_with_sampling" else generate_metaformer
+    if model_type == "lstm_with_sampling":
+        gen = generate_lws
+    else:
+        # genrt_loss is a VALIDATION metric monitored for checkpoints
+        # (reference G{epoch}-{genrt_loss}); keep it on f32 KV so its
+        # value is independent of the bf16 inference default
+        gen = functools.partial(generate_metaformer, cache_dtype=jnp.float32)
 
     @jax.jit
     def _one(params, data):

@@ -23,6 +23,7 @@ gradient all-reduce (psum) — this is the whole DDP replacement.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -181,7 +182,13 @@ def scheduled_sampling_step_fn(
     )
     delta_order = metrics_cfg["delta_order"]
     dls = model_cfg.get("delta_loss_scale", 1.0)
-    gen = generate_lws if model_type == "lstm_with_sampling" else generate_metaformer
+    if model_type == "lstm_with_sampling":
+        gen = generate_lws
+    else:
+        # f32 KV during TRAINING rollouts: gradients flow through the
+        # scan, and the reference trains in f32 (the bf16 inference
+        # default would perturb the scheduled-sampling loss surface)
+        gen = functools.partial(generate_metaformer, cache_dtype=jnp.float32)
 
     def forward_loss(params, batch, rng, rate):
         data = tuple(b[0] for b in batch)

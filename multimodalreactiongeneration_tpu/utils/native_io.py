@@ -132,16 +132,19 @@ def read_batch(
     return out
 
 
-def frame_energy(wave: np.ndarray, n_fft: int = 400, hop: int = 160):
-    """Framed energy via the native kernel (VAD front half)."""
-    lib = _load()
-    wave = np.ascontiguousarray(wave, np.float32)
-    if lib is None:
-        from multimodalreactiongeneration_tpu.data.segmentation import (
-            compute_log_power,
-        )
+def frame_energy_native(
+    wave: np.ndarray, n_fft: int = 400, hop: int = 160
+) -> Optional[np.ndarray]:
+    """Framed energy via the native kernel, or None without the .so.
 
-        return np.exp(compute_log_power(wave, n_fft, hop))
+    Production caller: data/segmentation.compute_log_power (the databuild
+    VAD front half) — it logs this and falls back to its numpy sliding
+    window when the library isn't built.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    wave = np.ascontiguousarray(wave, np.float32)
     num = max((len(wave) - n_fft) // hop + 1, 0)
     out = np.empty(num, np.float32)
     got = lib.mrgen_frame_energy(
@@ -152,3 +155,15 @@ def frame_energy(wave: np.ndarray, n_fft: int = 400, hop: int = 160):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out[:got]
+
+
+def frame_energy(wave: np.ndarray, n_fft: int = 400, hop: int = 160):
+    """Framed energy: native kernel, numpy fallback."""
+    out = frame_energy_native(wave, n_fft, hop)
+    if out is not None:
+        return out
+    from multimodalreactiongeneration_tpu.data.segmentation import (
+        _log_power_numpy,
+    )
+
+    return np.exp(_log_power_numpy(np.ascontiguousarray(wave, np.float32), n_fft, hop))

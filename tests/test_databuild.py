@@ -5,6 +5,8 @@ length invariants the reference asserts at model time
 
 import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -304,3 +306,40 @@ def test_process_motion_window_properties():
             assert ignore[s : e + stub.target_shift_real].sum() == 0
             assert ignore[sl:el].sum() == 0
             assert sl >= 0 and a_sl >= 0
+
+
+def test_vad_debug_plots_render(tmp_path):
+    """--debug-plot VAD figures (reference speech_segmentation.py:209-288,
+    380-406): one PNG per full 15 s window under <plot_dir>/<session>/."""
+    pytest.importorskip("matplotlib")
+    from multimodalreactiongeneration_tpu.data import segmentation
+
+    corpus = tmp_path / "corpus"
+    make_synthetic_corpus(str(corpus), n_sessions=1, seconds=40.0)
+    session = sorted(corpus.rglob("host.wav"))[0].parent
+    plot_dir = tmp_path / "plots"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "multimodalreactiongeneration_tpu.data.segmentation",
+            str(session / "host.wav"),
+            str(session / "comp.wav"),
+            "--debug-plot",
+            "--plot-dir",
+            str(plot_dir),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    sections = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "comp" in sections and "host" in sections
+    pngs = sorted((plot_dir / session.name).glob("utterance_*.png"))
+    # 40 s audio -> 2 full 15 s windows (reference floor(length/15))
+    assert [p.name for p in pngs] == [
+        "utterance_000_015.png",
+        "utterance_015_030.png",
+    ]
+    assert all(p.stat().st_size > 0 for p in pngs)

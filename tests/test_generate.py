@@ -100,7 +100,8 @@ def test_metaformer_teacher_decode_matches_shifted_forward():
     params = jax.jit(model.init)(jax.random.PRNGKey(7), *batch[:6])
 
     pred = generate_metaformer(
-        model, params, batch, sampling_mask_for(6, "teacher")
+        model, params, batch, sampling_mask_for(6, "teacher"),
+        cache_dtype=jnp.float32,  # exactness claim needs f32 KV
     )
     y_full, _ = model.apply(
         params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
@@ -108,6 +109,14 @@ def test_metaformer_teacher_decode_matches_shifted_forward():
     y_full = y_full[:, 2:]
     np.testing.assert_allclose(
         np.asarray(pred), np.asarray(y_full), atol=2e-4
+    )
+    # the bf16-KV inference DEFAULT must stay close to the f32 path:
+    # K/V quantization perturbs attention inputs by ~2^-8 relative
+    pred_bf16 = generate_metaformer(
+        model, params, batch, sampling_mask_for(6, "teacher")
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_bf16), np.asarray(y_full), atol=5e-2
     )
 
 
@@ -138,7 +147,8 @@ def test_metaformer_mha_emb_teacher_decode_matches_forward():
     params = jax.jit(model.init)(jax.random.PRNGKey(12), *batch[:6])
 
     pred = generate_metaformer(
-        model, params, batch, sampling_mask_for(6, "teacher")
+        model, params, batch, sampling_mask_for(6, "teacher"),
+        cache_dtype=jnp.float32,  # exactness claim needs f32 KV
     )
     y_full, _ = model.apply(
         params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]

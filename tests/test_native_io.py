@@ -54,3 +54,36 @@ def test_missing_file_raises():
         pytest.skip("native lib unavailable")
     with pytest.raises(OSError):
         native_io.read_slice("/nonexistent/file.wav", 0, 100)
+
+
+def test_vad_log_power_uses_native_kernel_when_available(monkeypatch, wav):
+    """compute_log_power (the databuild VAD front half) must consume the
+    native kernel when the .so is present — it was previously built,
+    tested, and unwired (no production caller)."""
+    from multimodalreactiongeneration_tpu.data import segmentation
+
+    _, sig = wav
+    calls = []
+
+    def spy(wave, n_fft, n_shift):
+        calls.append((len(wave), n_fft, n_shift))
+        return np.full(7, 2.0, np.float32)
+
+    monkeypatch.setattr(
+        "multimodalreactiongeneration_tpu.utils.native_io.frame_energy_native",
+        spy,
+    )
+    out = segmentation.compute_log_power(sig[:16000])
+    assert calls == [(16000, 400, 160)]
+    np.testing.assert_allclose(out, np.log(2.0), atol=1e-6)
+
+    # and the numpy fallback engages when the native kernel is absent
+    monkeypatch.setattr(
+        "multimodalreactiongeneration_tpu.utils.native_io.frame_energy_native",
+        lambda *a: None,
+    )
+    np.testing.assert_allclose(
+        segmentation.compute_log_power(sig[:16000]),
+        segmentation._log_power_numpy(sig[:16000]),
+        atol=0,
+    )

@@ -42,7 +42,14 @@ def test_decode_shards_over_mesh():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
 
     mask = sampling_mask_for(T, "full")
-    decode = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
+    # f32 KV: this test asserts SHARDING equivalence; the bf16 inference
+    # default rounds cache writes differently across program partitions
+    # and the free-run feedback amplifies those ULPs past any tight tol
+    decode = jax.jit(
+        lambda p, b: generate_metaformer(
+            model, p, b, mask, cache_dtype=jnp.float32
+        )
+    )
 
     # unsharded reference
     ref = decode(params, batch)
