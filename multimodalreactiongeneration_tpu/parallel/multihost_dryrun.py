@@ -27,13 +27,14 @@ devices each) with TCP standing in for DCN.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import socket
 import subprocess
 import sys
 import tempfile
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 # --- shared dryrun construction (used by __graft_entry__ and workers) ---
 # Tiny Metaformer matching the flagship model's full config surface; the
@@ -184,11 +185,82 @@ def sharded_train_step_loss() -> float:
     return loss
 
 
+def sharded_fit_result(ckpt_dir: str, epochs: int = 2, n_batches: int = 3):
+    """A FULL Trainer.fit across the live global mesh (multi-epoch loop,
+    staging, val evals, rank-0 checkpointing + metrics) — the complete
+    multi-host training story, not just one step.
+
+    Every process iterates the IDENTICAL global batch sequence and keeps
+    its rows via HostRowShard (the exact train/cli.py wiring). Returns
+    (per-epoch val losses, ckpt file count) for cross-rank comparison.
+    """
+    import jax
+    import numpy as np
+
+    from multimodalreactiongeneration_tpu.data.dataset import HostRowShard
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+    from multimodalreactiongeneration_tpu.parallel.distributed import (
+        global_data_mesh,
+    )
+    from multimodalreactiongeneration_tpu.train.harness import (
+        Trainer,
+        streaming_step_fns,
+    )
+    from multimodalreactiongeneration_tpu.train.optim import build_optimizer
+    from multimodalreactiongeneration_tpu.utils.config import from_dict
+
+    model = Metaformer(cfg=DRYRUN_MODEL_CFG)
+    base_batch, inputs = build_global_batch()
+    # n_batches distinct global batches: shift the data deterministically
+    # so every epoch sees the same sequence on every rank
+    batches = [
+        [(np.asarray(x) + 0.01 * i, l) for x, l in base_batch]
+        for i in range(n_batches)
+    ]
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), *inputs)
+    optim_cfg = from_dict(dict(DRYRUN_OPTIM_DICT, lr=1e-3))
+    optimizer = build_optimizer(optim_cfg)
+    train_step, eval_step = streaming_step_fns(
+        model,
+        DRYRUN_MODEL_CFG,
+        DRYRUN_METRICS_CFG,
+        optimizer,
+        mask_self_motion_input=True,
+    )
+    pi, pc = jax.process_index(), jax.process_count()
+    with tempfile.TemporaryDirectory() as log_dir:
+        trainer = Trainer(
+            model,
+            train_step,
+            eval_step,
+            optimizer,
+            optim_cfg,
+            callbacks_cfg={"use_checkpoint": True, "save_top_k": 1},
+            log_dir=log_dir,
+            ckpt_dir=ckpt_dir,
+            mesh=global_data_mesh(),
+        )
+        _, result = trainer.fit(
+            params,
+            HostRowShard(batches, pi, pc),
+            HostRowShard(batches[:1], pi, pc),
+            max_epochs=epochs,
+        )
+    val_losses = [h["val_loss"] for h in result.history]
+    n_ckpts = len(os.listdir(ckpt_dir)) if os.path.isdir(ckpt_dir) else 0
+    return val_losses, n_ckpts
+
+
 # --- worker entry (fresh process; env set BEFORE jax import) ---
 
 
 def run_worker(
-    process_id: int, num_processes: int, port: int, local_devices: int
+    process_id: int,
+    num_processes: int,
+    port: int,
+    local_devices: int,
+    mode: str = "step",
+    ckpt_dir: Optional[str] = None,
 ) -> None:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
@@ -212,6 +284,16 @@ def run_worker(
             process_id=process_id,
         )
         assert jax.process_count() == num_processes
+    if mode == "fit":
+        assert ckpt_dir, "fit mode needs --ckpt-dir"
+        vals, n_ckpts = sharded_fit_result(ckpt_dir)
+        print(
+            f"MULTIHOST_FIT process={jax.process_index()}/"
+            f"{jax.process_count()} ckpts={n_ckpts} "
+            f"vals={json.dumps([round(v, 6) for v in vals])}",
+            flush=True,
+        )
+        return
     loss = sharded_train_step_loss()
     print(
         f"MULTIHOST process={jax.process_index()}/{jax.process_count()} "
@@ -229,12 +311,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def launch_multihost(
-    num_processes: int = 2,
-    local_devices: int = 4,
-    timeout: float = 600.0,
-) -> Dict[int, float]:
-    """Spawn num_processes coordinated workers; return {process_id: loss}."""
+def _launch_workers(
+    num_processes: int,
+    local_devices: int,
+    timeout: float,
+    extra_args: List[str],
+) -> List[Tuple[int, str, str]]:
     port = _free_port()
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -262,7 +344,8 @@ def launch_multihost(
                     str(port),
                     "--local-devices",
                     str(local_devices),
-                ],
+                ]
+                + extra_args,
                 cwd=repo_root,
                 env=env,
                 stdout=subprocess.PIPE,
@@ -279,12 +362,23 @@ def launch_multihost(
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    losses: Dict[int, float] = {}
     for rc, out, err in outs:
         if rc != 0:
             raise RuntimeError(
                 f"multihost worker failed (rc={rc}):\n{out}\n{err[-2000:]}"
             )
+    return outs
+
+
+def launch_multihost(
+    num_processes: int = 2,
+    local_devices: int = 4,
+    timeout: float = 600.0,
+) -> Dict[int, float]:
+    """Spawn num_processes coordinated workers; return {process_id: loss}."""
+    outs = _launch_workers(num_processes, local_devices, timeout, [])
+    losses: Dict[int, float] = {}
+    for _, out, err in outs:
         m = re.search(r"MULTIHOST process=(\d+)/\d+ devices=\d+ loss=([\d.eE+-]+)", out)
         if not m:
             raise RuntimeError(f"worker printed no loss:\n{out}\n{err[-2000:]}")
@@ -292,6 +386,40 @@ def launch_multihost(
     if sorted(losses) != list(range(num_processes)):
         raise RuntimeError(f"expected {num_processes} distinct ranks, got {losses}")
     return losses
+
+
+def launch_multihost_fit(
+    ckpt_dir: str,
+    num_processes: int = 2,
+    local_devices: int = 4,
+    timeout: float = 2400.0,
+) -> Dict[int, Tuple[List[float], int]]:
+    """Full 2-epoch Trainer.fit across coordinated workers.
+
+    Returns {rank: (per-epoch val losses, ckpt entries visible)}.
+    First cold run is compile-dominated (~15 min on a 1-core box: both
+    ranks compile the same fit graphs concurrently, so neither hits the
+    persistent cache); repeat runs hit the cache and finish in ~2 min.
+    """
+    outs = _launch_workers(
+        num_processes,
+        local_devices,
+        timeout,
+        ["--mode", "fit", "--ckpt-dir", ckpt_dir],
+    )
+    results: Dict[int, Tuple[List[float], int]] = {}
+    for _, out, err in outs:
+        m = re.search(
+            r"MULTIHOST_FIT process=(\d+)/\d+ ckpts=(\d+) vals=(\[.*\])", out
+        )
+        if not m:
+            raise RuntimeError(f"fit worker printed no result:\n{out}\n{err[-2000:]}")
+        results[int(m.group(1))] = (json.loads(m.group(3)), int(m.group(2)))
+    if sorted(results) != list(range(num_processes)):
+        raise RuntimeError(
+            f"expected {num_processes} distinct ranks, got {results}"
+        )
+    return results
 
 
 def verify_multihost(
@@ -324,8 +452,17 @@ def main(argv: List[str]) -> None:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--mode", choices=["step", "fit"], default="step")
+    ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
-    run_worker(args.process_id, args.num_processes, args.port, args.local_devices)
+    run_worker(
+        args.process_id,
+        args.num_processes,
+        args.port,
+        args.local_devices,
+        mode=args.mode,
+        ckpt_dir=args.ckpt_dir,
+    )
 
 
 if __name__ == "__main__":

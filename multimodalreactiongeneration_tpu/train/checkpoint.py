@@ -24,6 +24,29 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _make_pytree_checkpointer():
+    """PyTreeCheckpointer whose process barriers involve ONLY this rank.
+
+    Under multi-process jax (jax.distributed), Checkpointer.save opens
+    with sync_global_processes across active_processes. The Trainer
+    writes checkpoints from rank 0 only (payloads are host numpy of
+    fully-replicated params) — with the default active_processes=ALL,
+    that single-rank save would barrier-wait on ranks that never call
+    save and deadlock the whole fit. Scoping active_processes to the
+    calling rank makes the save purely local, which is exactly its
+    semantics here.
+    """
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    me = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(use_ocdbt=True),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me}
+        ),
+    )
+
+
 class TopKCheckpointer:
     def __init__(self, directory: str, top_k: int = 5, monitor: str = "V"):
         self.directory = os.path.abspath(directory)
@@ -31,7 +54,7 @@ class TopKCheckpointer:
         self.top_k = top_k
         self.monitor = monitor
         self._saved: List[Tuple[float, str]] = []  # (val_loss, path)
-        self._ckpt = ocp.PyTreeCheckpointer()
+        self._ckpt = _make_pytree_checkpointer()
         # seed from checkpoints already on disk so a resumed run compares
         # against and prunes the previous run's top-k (like Lightning's
         # ModelCheckpoint best_k_models restore)
@@ -91,7 +114,7 @@ class TopKCheckpointer:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return _make_pytree_checkpointer().restore(os.path.abspath(path))
 
 
 # ---------------------------------------------------------------------------

@@ -368,6 +368,11 @@ class Trainer:
         return jax.tree_util.tree_map(put, batch)
 
     def _log(self, record: Dict[str, Any]):
+        # multi-host: one writer — every process computes the same global
+        # losses (SPMD), so rank 0's lines are the complete record and
+        # concurrent appends from other ranks would interleave/duplicate
+        if jax.process_index() != 0:
+            return
         with open(self._metrics_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
 
@@ -394,7 +399,17 @@ class Trainer:
         patience = self.callbacks.get("patience_epoch", max_epochs)
         use_early = self.callbacks.get("use_early_stopping", False)
         top_k = self.callbacks.get("save_top_k", 1)
-        use_ckpt = self.callbacks.get("use_checkpoint", True) and self.ckpt_dir
+        # multi-host: rank 0 owns checkpoint files — concurrent same-path
+        # writes from other ranks would corrupt. train/val monitors are
+        # global losses (identical on every rank, SPMD); the genrt
+        # monitor is computed on the rank's own val rows, so rank 0's
+        # top-k G choice reflects its shard — a ranking heuristic, not a
+        # correctness surface
+        use_ckpt = (
+            self.callbacks.get("use_checkpoint", True)
+            and self.ckpt_dir
+            and jax.process_index() == 0
+        )
 
         result = FitResult(ckpt_dir=self.ckpt_dir)
         # reference monitors: V{epoch}-{val_loss} for every trainer; the

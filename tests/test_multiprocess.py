@@ -38,3 +38,29 @@ def test_two_process_train_step_matches_single_process():
     # change to the dryrun model/batch construction can't hide a
     # collective bug behind "both paths changed the same way"
     assert abs(single - 0.60253) < 1e-3
+
+
+def test_two_process_full_fit_matches_single_process(tmp_path):
+    """A FULL 2-epoch Trainer.fit (staging, val evals, rank-0 checkpoint
+    + metrics writing) across 2 real coordinated processes must produce
+    the same per-epoch val-loss history as a single 8-device process."""
+    from multimodalreactiongeneration_tpu.parallel.multihost_dryrun import (
+        launch_multihost_fit,
+    )
+
+    single = launch_multihost_fit(
+        str(tmp_path / "ck1"), num_processes=1, local_devices=8
+    )[0]
+    multi = launch_multihost_fit(
+        str(tmp_path / "ck2"), num_processes=2, local_devices=4
+    )
+    single_vals, single_ckpts = single
+    assert len(single_vals) == 2
+    assert single_ckpts >= 1  # V checkpoint (+ last)
+    for rank, (vals, n_ckpts) in multi.items():
+        assert len(vals) == 2
+        for a, b in zip(vals, single_vals):
+            assert abs(a - b) < 1e-4, (rank, vals, single_vals)
+        # rank 0 wrote; rank 1 sees the same shared dir (same count) —
+        # a double-writer would have corrupted or duplicated entries
+        assert n_ckpts == single_ckpts
