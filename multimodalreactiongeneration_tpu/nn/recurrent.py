@@ -200,11 +200,18 @@ class TorchLSTM(nn.Module):
                         + b_ih
                         + b_hh
                     )
-                    # the Pallas kernel is f32-only (f32 VMEM refs); run it
-                    # in f32 and cast back so bf16 training works
+                    # kernel state/accumulation are f32; the weight dtype
+                    # selects the MXU matmul precision — bf16 params run
+                    # the recurrent matmuls at full MXU rate (the bf16
+                    # train-step win), f32 params keep full f32 numerics
+                    mm_dtype = (
+                        jnp.bfloat16
+                        if w_hh.dtype == jnp.bfloat16
+                        else jnp.float32
+                    )
                     ys, (h, c) = lstm_recurrence(
                         xw.astype(jnp.float32),
-                        w_hh.T.astype(jnp.float32),
+                        w_hh.T.astype(mm_dtype),
                         h0_all[idx].astype(jnp.float32),
                         c0_all[idx].astype(jnp.float32),
                     )
@@ -301,10 +308,16 @@ class TorchGRU(nn.Module):
                         )
                         + b_ih
                     )
-                    # f32-only kernel; see TorchLSTM pallas branch
+                    # weight dtype selects matmul precision; see the
+                    # TorchLSTM pallas branch
+                    mm_dtype = (
+                        jnp.bfloat16
+                        if w_hh.dtype == jnp.bfloat16
+                        else jnp.float32
+                    )
                     ys, h = gru_recurrence(
                         xw.astype(jnp.float32),
-                        w_hh.T.astype(jnp.float32),
+                        w_hh.T.astype(mm_dtype),
                         b_hh.astype(jnp.float32),
                         hx[idx].astype(jnp.float32),
                     )

@@ -23,7 +23,17 @@ CHUNK_T = 16
 
 
 def _gates(xw_t, h_prev, whh_t, b_hh, hdim):
-    hh = jnp.dot(h_prev, whh_t, preferred_element_type=jnp.float32) + b_hh
+    # whh's dtype selects matmul precision (bf16 = full MXU rate);
+    # accumulation, bias add and gate math stay f32 (see pallas_lstm.py)
+    hh = jnp.dot(
+        h_prev.astype(whh_t.dtype), whh_t,
+        preferred_element_type=jnp.float32,
+    ) + b_hh
+    r, z, n, hn = _gates_from_hh(xw_t, hh, hdim)
+    return r, z, n, hn, hh
+
+
+def _gates_from_hh(xw_t, hh, hdim):
     xr, xz, xn = (
         xw_t[:, :hdim],
         xw_t[:, hdim : 2 * hdim],
@@ -37,8 +47,11 @@ def _gates(xw_t, h_prev, whh_t, b_hh, hdim):
 
 
 def _fwd_kernel(
-    xw_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hn_out_ref, h_scr, *, t_real
+    xw_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hn_out_ref, h_scr,
+    *, t_real, hhs_ref=None,
 ):
+    """hhs_ref (vjp-fwd variant) saves hh = h_{t-1} @ W_hh^T + b_hh per
+    step so the backward never recomputes the hidden projection."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     tc = xw_ref.shape[1]
@@ -50,9 +63,11 @@ def _fwd_kernel(
 
     def body(i, _):
         valid = t * tc + i < t_real
-        r, z, n, _ = _gates(
+        r, z, n, _, hh = _gates(
             xw_ref[:, i], h_scr[:], whh_ref[:], bhh_ref[0], hdim
         )
+        if hhs_ref is not None:
+            hhs_ref[:, i] = hh
         h = (1.0 - z) * n + z * h_scr[:]
         h_scr[:] = jnp.where(valid, h, h_scr[:])
         ys_ref[:, i] = h
@@ -65,22 +80,37 @@ def _fwd_kernel(
         hn_out_ref[:] = h_scr[:]
 
 
-def _bwd_kernel(
-    xw_ref, whh_ref, bhh_ref, h0_ref, ysp_ref, dys_ref, dhn_ref,
-    dxw_ref, dwhh_ref, dbhh_ref, dh0_ref,
-    dh_scr, dw_scr, db_scr,
+def _fwd_kernel_savehh(
+    xw_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hn_out_ref, hhs_ref, h_scr,
     *, t_real,
 ):
+    _fwd_kernel(
+        xw_ref, whh_ref, bhh_ref, h0_ref, ys_ref, hn_out_ref, h_scr,
+        t_real=t_real, hhs_ref=hhs_ref,
+    )
+
+
+def _bwd_kernel(
+    xw_ref, whh_ref, hh_ref, ysp_ref, dys_ref, dhn_ref,
+    dxw_ref, dhh_ref, dh0_ref,
+    dh_scr,
+    *, t_real,
+):
+    """Reverse-streamed BPTT chain (see pallas_lstm._bwd_kernel).
+
+    hh = h_{t-1} @ W_hh^T + b_hh is hoisted to one host-side einsum
+    (ysp carries the right-shifted trajectory with h0 in slot 0); dW_hh
+    and db_hh reduce OUTSIDE over the dhh output. Only the sequential dh
+    chain's single matmul stays in-kernel.
+    """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     tc = xw_ref.shape[1]
-    hdim = h0_ref.shape[-1]
+    hdim = ysp_ref.shape[-1]
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = dhn_ref[:]
-        dw_scr[:] = jnp.zeros_like(dw_scr)
-        db_scr[:] = jnp.zeros_like(db_scr)
 
     whh_t = whh_ref[:]
 
@@ -88,12 +118,9 @@ def _bwd_kernel(
         i = tc - 1 - j
         global_idx = (nt - 1 - t) * tc + i
         valid = global_idx < t_real
-        first_global = jnp.logical_and(t == nt - 1, i == 0)
-        h_prev = jnp.where(first_global, h0_ref[:], ysp_ref[:, i])
+        h_prev = ysp_ref[:, i]
 
-        r, z, n, hn = _gates(
-            xw_ref[:, i], h_prev, whh_t, bhh_ref[0], hdim
-        )
+        r, z, n, hn = _gates_from_hh(xw_ref[:, i], hh_ref[:, i], hdim)
 
         dh = dys_ref[:, i] + dh_scr[:]
         dz = dh * (h_prev - n)
@@ -112,14 +139,10 @@ def _bwd_kernel(
         dhh = jnp.where(valid, dhh, 0.0)
 
         dxw_ref[:, i] = dxw
-        dw_scr[:] += jax.lax.dot_general(
-            h_prev, dhh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        db_scr[:] += jnp.sum(dhh, axis=0, keepdims=True)
+        dhh_ref[:, i] = dhh
+        # the ONLY sequential matmul: the dh chain back one step
         dh_prev = dh_prev + jax.lax.dot_general(
-            dhh, whh_t,
+            dhh.astype(whh_t.dtype), whh_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -130,8 +153,6 @@ def _bwd_kernel(
 
     @pl.when(t == nt - 1)
     def _():
-        dwhh_ref[:] = dw_scr[:]
-        dbhh_ref[:] = db_scr[:]
         dh0_ref[:] = dh_scr[:]
 
 
@@ -140,38 +161,59 @@ from multimodalreactiongeneration_tpu.ops.partitioning import (
 )
 
 
-def _fwd_impl(xw, w_hh_t, b_hh, h0):
+def _fwd_common(xw, w_hh_t, b_hh, h0, save_hh):
     xw_p, t_real = _pad_time(xw, CHUNK_T)
     b, t_pad, g3 = xw_p.shape
     h = g3 // 3
     nt = t_pad // CHUNK_T
     b_hh2 = b_hh.reshape(1, g3)
 
-    ys, hn = pl.pallas_call(
-        functools.partial(_fwd_kernel, t_real=t_real),
+    chunk_spec = lambda d: pl.BlockSpec(
+        (b, CHUNK_T, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec((b, h), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_specs = [chunk_spec(h), state_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
+        jax.ShapeDtypeStruct((b, h), jnp.float32),
+    ]
+    kernel = _fwd_kernel
+    if save_hh:
+        kernel = _fwd_kernel_savehh
+        out_specs.append(chunk_spec(g3))
+        out_shape.append(jax.ShapeDtypeStruct((b, t_pad, g3), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((b, CHUNK_T, g3), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
+            chunk_spec(g3),
             pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            state_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((b, CHUNK_T, h), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, h), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
     )(xw_p, w_hh_t, b_hh2, h0)
+    ys, hn = outs[:2]
+    if save_hh:
+        # hh stays padded — the bwd kernel consumes the padded layout
+        return ys[:, :t_real], hn, outs[2]
     return ys[:, :t_real], hn
 
 
-def _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn):
+def _fwd_impl(xw, w_hh_t, b_hh, h0):
+    """Positional-only (custom_partitioning traces keyword defaults)."""
+    return _fwd_common(xw, w_hh_t, b_hh, h0, False)
+
+
+def _fwd_impl_savehh(xw, w_hh_t, b_hh, h0):
+    return _fwd_common(xw, w_hh_t, b_hh, h0, True)
+
+
+def _bwd_impl(xw, w_hh_t, h0, ys, hh_all, dys, dhn):
     xw_p, t_real = _pad_time(xw, CHUNK_T)
     ys_p, _ = _pad_time(ys, CHUNK_T)
     dys_p, _ = _pad_time(dys, CHUNK_T)
@@ -179,40 +221,43 @@ def _bwd_impl(xw, w_hh_t, b_hh, h0, ys, dys, dhn):
     h = g3 // 3
     nt = t_pad // CHUNK_T
     rev = lambda t: (0, nt - 1 - t, 0)
-    ys_shift = jnp.concatenate([jnp.zeros((b, 1, h)), ys_p[:, :-1]], axis=1)
-    b_hh2 = b_hh.reshape(1, g3)
+    mm = w_hh_t.dtype  # bf16 weights -> bf16 matmuls, f32 accumulate
+    # right-shifted trajectory with the TRUE initial state in slot 0;
+    # hh_all comes in PADDED straight from the vjp-fwd kernel
+    ys_shift = jnp.concatenate([h0[:, None], ys_p[:, :-1]], axis=1)
 
-    dxw, dwhh, dbhh, dh0 = pl.pallas_call(
+    dxw, dhh, dh0_out = pl.pallas_call(
         functools.partial(_bwd_kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, g3), jnp.float32),
-            jax.ShapeDtypeStruct((h, g3), jnp.float32),
-            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, g3), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((h, g3), jnp.float32),
-            pltpu.VMEM((1, g3), jnp.float32),
-        ],
-    )(xw_p, w_hh_t, b_hh2, h0, ys_shift, dys_p, dhn)
-    return dxw[:, :t_real], dwhh, dbhh.reshape(g3), dh0
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+    )(xw_p, w_hh_t, hh_all, ys_shift, dys_p, dhn)
+
+    # weight/bias grads reduce over the whole sequence OUTSIDE the
+    # sequential chain (padding steps are zeroed by the valid mask)
+    dwhh = jnp.einsum(
+        "bth,btg->hg", ys_shift.astype(mm), dhh.astype(mm),
+        preferred_element_type=jnp.float32,
+    ).astype(w_hh_t.dtype)
+    dbhh = jnp.sum(dhh, axis=(0, 1))
+    return dxw[:, :t_real], dwhh, dbhh, dh0_out
 
 
 # SPMD batch partitioning; see ops/partitioning.py and pallas_lstm.py
@@ -224,12 +269,17 @@ _fwd_sharded = shard_batch_dim(
     _fwd_impl, batch_args=(0, 3), out_is_batched=(True, True),
     sharding_rule="b t g, h g, g, b h -> b t h, b h",
 )
+_fwd_sharded_savehh = shard_batch_dim(
+    _fwd_impl_savehh, batch_args=(0, 3),
+    out_is_batched=(True, True, True),
+    sharding_rule="b t g, h g, g, b h -> b t h, b h, b s g",
+)
 _bwd_sharded = shard_batch_dim(
-    _bwd_impl, batch_args=(0, 3, 4, 5, 6),
+    _bwd_impl, batch_args=(0, 2, 3, 4, 5, 6),
     out_is_batched=(True, False, False, True),
     reduce_outs=(1, 2),
     sharding_rule=(
-        "b t g, h g, g, b h, b t h, b t h, b h -> b t g, h g, g, b h"
+        "b t g, h g, b h, b t h, b s g, b t h, b h -> b t g, h g, g, b h"
     ),
 )
 
@@ -243,14 +293,16 @@ def gru_recurrence(xw, w_hh_t, b_hh, h0):
 
 
 def _vjp_fwd(xw, w_hh_t, b_hh, h0):
-    ys, hn = _fwd_sharded(xw, w_hh_t, b_hh, h0)
-    return (ys, hn), (xw, w_hh_t, b_hh, h0, ys)
+    # saves hh (replacing the backward's hoisted recompute einsum);
+    # b_hh's gradient reduces from dhh outside, so it isn't a residual
+    ys, hn, hh = _fwd_sharded_savehh(xw, w_hh_t, b_hh, h0)
+    return (ys, hn), (xw, w_hh_t, h0, ys, hh)
 
 
 def _vjp_bwd(res, cot):
-    xw, w_hh_t, b_hh, h0, ys = res
+    xw, w_hh_t, h0, ys, hh = res
     dys, dhn = cot
-    return _bwd_sharded(xw, w_hh_t, b_hh, h0, ys, dys, dhn)
+    return _bwd_sharded(xw, w_hh_t, h0, ys, hh, dys, dhn)
 
 
 gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

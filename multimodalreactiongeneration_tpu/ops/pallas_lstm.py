@@ -12,12 +12,30 @@ step is a single MXU matmul plus fused VPU gate math.
 Grid = (T / CHUNK_T,), sequential on one core — scratch persistence and
 reverse-order backward streaming are the supported TPU patterns.
 
-The backward kernel re-streams xw and the stored (h, c) trajectories in
-reverse, recomputes gate activations, and accumulates dW_hh in VMEM.
+The backward is split by data dependence: the vjp-forward saves the
+gate pre-activation trajectory it already computes (replacing xw in the
+residuals — same size, zero extra memory), and dW_hh reduces OUTSIDE
+the kernel as ONE (H, B·T) x (B·T, 4H) einsum over the kernel's dgates
+output at full MXU efficiency. The backward kernel streams
+gates/c-trajectory/dys in reverse time chunks and performs only the
+truly sequential work per step: VPU gate math and a single
+dgates @ W_hh^T matmul for the dh chain. (The original design did 3
+small M=32 matmuls per step in-kernel; at these shapes the chain is
+issue-latency-bound, so hoisting the gate recompute and dW out is worth
+~2x on the whole backward.)
 
 Numerics: torch gate order (i, f, g, o), f32 state. Matches the scan
 path to ~1e-5 (tests/test_pallas_lstm.py); exposed via
 TorchLSTM(impl="pallas") for unidirectional layers.
+
+Mixed precision: the dtype of w_hh_t selects the MXU matmul precision.
+With bf16 weights every recurrent matmul runs bf16 x bf16 -> f32 (full
+MXU rate; f32 operands cost a multi-pass decomposition), while h/c
+state, gate math, and the dW accumulator stay f32 — strictly better
+numerics than a bf16-carry scan. At B32/H256 the f32 matmuls are the
+dominant per-step cost (M=32 underutilizes the MXU rows, so the step is
+issue-bound on matmul passes), which is why bf16 train steps barely won
+before this path existed.
 """
 
 from __future__ import annotations
@@ -37,8 +55,11 @@ def _fwd_kernel(
     xw_ref, whh_ref, h0_ref, c0_ref,
     ys_ref, cs_ref, hn_ref, cn_ref,
     h_scr, c_scr,
-    *, t_real,
+    *, t_real, gs_ref=None,
 ):
+    """gs_ref (present on the vjp-fwd variant) saves the per-step gate
+    pre-activations as a trajectory so the backward never recomputes
+    them — it replaces xw in the autodiff residuals (same size)."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     tc = xw_ref.shape[1]
@@ -52,9 +73,14 @@ def _fwd_kernel(
         # chunk-padding steps (beyond the real T) must not evolve state,
         # so hn/cn come out as the state at t_real
         valid = t * tc + i < t_real
+        # whh's dtype selects matmul precision (bf16 = full MXU rate);
+        # accumulation and state stay f32
         gates = xw_ref[:, i] + jnp.dot(
-            h_scr[:], whh_ref[:], preferred_element_type=jnp.float32
+            h_scr[:].astype(whh_ref.dtype), whh_ref[:],
+            preferred_element_type=jnp.float32,
         )
+        if gs_ref is not None:
+            gs_ref[:, i] = gates
         hdim = h_scr.shape[-1]
         ii = jax.nn.sigmoid(gates[:, :hdim])
         ff = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
@@ -76,30 +102,46 @@ def _fwd_kernel(
         cn_ref[:] = c_scr[:]
 
 
-def _bwd_kernel(
-    xw_ref, whh_ref, h0_ref, c0_ref, ysp_ref, csp_ref, dys_ref,
-    dhn_ref, dcn_ref,
-    dxw_ref, dwhh_ref, dh0_ref, dc0_ref,
-    dh_scr, dc_scr, dw_scr,
+def _fwd_kernel_savegates(
+    xw_ref, whh_ref, h0_ref, c0_ref,
+    ys_ref, cs_ref, hn_ref, cn_ref, gs_ref,
+    h_scr, c_scr,
     *, t_real,
 ):
-    """Reverse-streamed BPTT. Grid step t covers time chunk nt-1-t.
+    _fwd_kernel(
+        xw_ref, whh_ref, h0_ref, c0_ref,
+        ys_ref, cs_ref, hn_ref, cn_ref,
+        h_scr, c_scr,
+        t_real=t_real, gs_ref=gs_ref,
+    )
 
-    ysp/csp are the trajectories SHIFTED RIGHT by one step (host wrapper),
-    so chunk-local index i reads h_{global-1}/c_{global-1} directly; the
-    true sequence start substitutes h0/c0. Final-state cotangents enter
-    exactly by initializing the dh/dc scratch with them at t == 0.
+
+def _bwd_kernel(
+    gates_ref, whh_ref, csp_ref, dys_ref,
+    dhn_ref, dcn_ref,
+    dxw_ref, dh0_ref, dc0_ref,
+    dh_scr, dc_scr,
+    *, t_real,
+):
+    """Reverse-streamed BPTT chain. Grid step t covers time chunk nt-1-t.
+
+    gates are the PRE-ACTIVATIONS xw + h_{t-1} @ W_hh^T, recomputed for
+    the whole sequence by one host-side einsum (h_{t-1} comes from the
+    stored trajectory shifted right with h0 in slot 0). csp is the
+    right-shifted c trajectory (c0 in slot 0). Final-state cotangents
+    enter exactly by initializing the dh/dc scratch at t == 0. dW_hh is
+    NOT accumulated here — it is an einsum over the dgates output
+    (= dxw) outside, where the MXU can batch the whole sequence.
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
-    tc = xw_ref.shape[1]
-    hdim = h0_ref.shape[-1]
+    tc = gates_ref.shape[1]
+    hdim = csp_ref.shape[-1]
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = dhn_ref[:]
         dc_scr[:] = dcn_ref[:]
-        dw_scr[:] = jnp.zeros_like(dw_scr)
 
     whh_t = whh_ref[:]  # (H, 4H)
 
@@ -107,13 +149,9 @@ def _bwd_kernel(
         i = tc - 1 - j  # reverse within the chunk
         global_idx = (nt - 1 - t) * tc + i
         valid = global_idx < t_real
-        first_global = jnp.logical_and(t == nt - 1, i == 0)
-        h_prev = jnp.where(first_global, h0_ref[:], ysp_ref[:, i])
-        c_prev = jnp.where(first_global, c0_ref[:], csp_ref[:, i])
+        gates = gates_ref[:, i]
+        c_prev = csp_ref[:, i]
 
-        gates = xw_ref[:, i] + jnp.dot(
-            h_prev, whh_t, preferred_element_type=jnp.float32
-        )
         ii = jax.nn.sigmoid(gates[:, :hdim])
         ff = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
         gg = jnp.tanh(gates[:, 2 * hdim : 3 * hdim])
@@ -140,13 +178,9 @@ def _bwd_kernel(
         dgates = jnp.where(valid, dgates, 0.0)
 
         dxw_ref[:, i] = dgates
-        dw_scr[:] += jax.lax.dot_general(
-            h_prev, dgates,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # the ONLY sequential matmul: the dh chain back one step
         dh_prev = jax.lax.dot_general(
-            dgates, whh_t,
+            dgates.astype(whh_t.dtype), whh_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -158,7 +192,6 @@ def _bwd_kernel(
 
     @pl.when(t == nt - 1)
     def _():
-        dwhh_ref[:] = dw_scr[:]
         dh0_ref[:] = dh_scr[:]
         dc0_ref[:] = dc_scr[:]
 
@@ -168,69 +201,87 @@ from multimodalreactiongeneration_tpu.ops.partitioning import (
 )
 
 
-def _fwd_impl(xw, w_hh_t, h0, c0):
-    """xw (B, T, 4H) = x @ W_ih^T + b_ih + b_hh;  w_hh_t (H, 4H)."""
+def _fwd_common(xw, w_hh_t, h0, c0, save_gates):
+    """xw (B, T, 4H) = x @ W_ih^T + b_ih + b_hh;  w_hh_t (H, 4H).
+
+    save_gates=True (vjp-fwd path) additionally writes the gate
+    pre-activation trajectory (B, T_pad, 4H) for the backward."""
     xw_p, t_real = _pad_time(xw, CHUNK_T)
     b, t_pad, g4 = xw_p.shape
     h = g4 // 4
     nt = t_pad // CHUNK_T
 
-    ys, cs, hn, cn = pl.pallas_call(
-        functools.partial(_fwd_kernel, t_real=t_real),
+    chunk_spec = lambda d: pl.BlockSpec(
+        (b, CHUNK_T, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec((b, h), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_specs = [chunk_spec(h), chunk_spec(h), state_spec, state_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
+        jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
+        jax.ShapeDtypeStruct((b, h), jnp.float32),
+        jax.ShapeDtypeStruct((b, h), jnp.float32),
+    ]
+    kernel = _fwd_kernel
+    if save_gates:
+        kernel = _fwd_kernel_savegates
+        out_specs.append(chunk_spec(g4))
+        out_shape.append(jax.ShapeDtypeStruct((b, t_pad, g4), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((b, CHUNK_T, g4), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
+            chunk_spec(g4),
             pl.BlockSpec((h, g4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((b, CHUNK_T, h), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, h), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
         ],
     )(xw_p, w_hh_t, h0, c0)
+    ys, cs, hn, cn = outs[:4]
+    if save_gates:
+        # gates stay padded — the bwd kernel consumes the padded layout
+        return ys[:, :t_real], cs[:, :t_real], hn, cn, outs[4]
     return ys[:, :t_real], cs[:, :t_real], hn, cn
 
 
-def _bwd_impl(xw, w_hh_t, h0, c0, ys, cs, dys, dhn, dcn):
-    xw_p, t_real = _pad_time(xw, CHUNK_T)
-    ys_p, _ = _pad_time(ys, CHUNK_T)
+def _fwd_impl(xw, w_hh_t, h0, c0):
+    """Positional-only (custom_partitioning traces keyword defaults)."""
+    return _fwd_common(xw, w_hh_t, h0, c0, False)
+
+
+def _fwd_impl_savegates(xw, w_hh_t, h0, c0):
+    return _fwd_common(xw, w_hh_t, h0, c0, True)
+
+
+def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
+    ys_p, t_real = _pad_time(ys, CHUNK_T)
     cs_p, _ = _pad_time(cs, CHUNK_T)
     dys_p, _ = _pad_time(dys, CHUNK_T)
-    b, t_pad, g4 = xw_p.shape
+    b, t_pad, g4 = gates_all.shape  # gates come in PADDED from vjp-fwd
     h = g4 // 4
     nt = t_pad // CHUNK_T
     rev = lambda t: (0, nt - 1 - t, 0)
+    mm = w_hh_t.dtype  # bf16 weights -> bf16 matmuls, f32 accumulate
 
-    # shift the stored trajectories one step right: chunk-local index i
-    # then reads h_{global-1}/c_{global-1} (sequence start handled in-kernel)
-    ys_shift = jnp.concatenate([jnp.zeros((b, 1, h)), ys_p[:, :-1]], axis=1)
-    cs_shift = jnp.concatenate([jnp.zeros((b, 1, h)), cs_p[:, :-1]], axis=1)
+    # trajectories shifted one step right with the TRUE initial state in
+    # slot 0: index i then reads h_{global-1}/c_{global-1} everywhere
+    ys_shift = jnp.concatenate([h0[:, None], ys_p[:, :-1]], axis=1)
+    cs_shift = jnp.concatenate([c0[:, None], cs_p[:, :-1]], axis=1)
 
-    dxw, dwhh, dh0, dc0 = pl.pallas_call(
+    dxw, dh0_out, dc0_out = pl.pallas_call(
         functools.partial(_bwd_kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((b, CHUNK_T, g4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -238,23 +289,28 @@ def _bwd_impl(xw, w_hh_t, h0, c0, ys, cs, dys, dhn, dcn):
         ],
         out_specs=(
             pl.BlockSpec((b, CHUNK_T, g4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, g4), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, g4), jnp.float32),
-            jax.ShapeDtypeStruct((h, g4), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((h, g4), jnp.float32),
         ],
-    )(xw_p, w_hh_t, h0, c0, ys_shift, cs_shift, dys_p, dhn, dcn)
-    return dxw[:, :t_real], dwhh, dh0, dc0
+    )(gates_all, w_hh_t, cs_shift, dys_p, dhn, dcn)
+
+    # dW_hh = sum_t h_{t-1}^T dgates_t: one einsum over the whole
+    # sequence (contraction dim B*T fills the MXU; padding steps are
+    # zeroed in dxw by the kernel's valid mask)
+    dwhh = jnp.einsum(
+        "bth,btg->hg", ys_shift.astype(mm), dxw.astype(mm),
+        preferred_element_type=jnp.float32,
+    ).astype(w_hh_t.dtype)
+    return dxw[:, :t_real], dwhh, dh0_out, dc0_out
 
 
 # SPMD: each device runs the kernel on its local batch shard; weights
@@ -270,12 +326,17 @@ _fwd_sharded = shard_batch_dim(
     out_is_batched=(True, True, True, True),
     sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h",
 )
+_fwd_sharded_savegates = shard_batch_dim(
+    _fwd_impl_savegates, batch_args=(0, 2, 3),
+    out_is_batched=(True, True, True, True, True),
+    sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h, b t g",
+)
 _bwd_sharded = shard_batch_dim(
-    _bwd_impl, batch_args=(0, 2, 3, 4, 5, 6, 7, 8),
+    _bwd_impl, batch_args=(1, 2, 3, 4, 5, 6, 7, 8),
     out_is_batched=(True, False, True, True),
     reduce_outs=(1,),
     sharding_rule=(
-        "b t g, h g, b h, b h, b t h, b t h, b t h, b h, b h "
+        "h g, b h, b h, b t h, b t h, b s g, b t h, b h, b h "
         "-> b t g, h g, b h, b h"
     ),
 )
@@ -294,15 +355,17 @@ def lstm_recurrence(xw, w_hh_t, h0, c0):
 
 
 def _vjp_fwd(xw, w_hh_t, h0, c0):
-    ys, cs, hn, cn = _fwd_sharded(xw, w_hh_t, h0, c0)
-    return (ys, (hn, cn)), (xw, w_hh_t, h0, c0, ys, cs)
+    # the vjp-fwd variant saves the gate trajectory (replacing xw in the
+    # residuals, same size) so the backward never recomputes it
+    ys, cs, hn, cn, gates = _fwd_sharded_savegates(xw, w_hh_t, h0, c0)
+    return (ys, (hn, cn)), (w_hh_t, h0, c0, ys, cs, gates)
 
 
 def _vjp_bwd(res, cot):
-    xw, w_hh_t, h0, c0, ys, cs = res
+    w_hh_t, h0, c0, ys, cs, gates = res
     dys, (dhn, dcn) = cot
     dxw, dwhh, dh0, dc0 = _bwd_sharded(
-        xw, w_hh_t, h0, c0, ys, cs, dys, dhn, dcn
+        w_hh_t, h0, c0, ys, cs, gates, dys, dhn, dcn
     )
     return dxw, dwhh, dh0, dc0
 

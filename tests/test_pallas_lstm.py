@@ -124,3 +124,71 @@ def test_gru_forward_and_grads_match_scan(t):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("t", [16, 37])
+def test_bf16_weights_select_mixed_precision_matmuls(t):
+    """bf16 w_hh_t runs the recurrent matmuls in bf16 (f32 state and
+    accumulation) and must track the f32 kernel within bf16 tolerance;
+    the weight cotangent keeps the weight's dtype (custom_vjp contract).
+    """
+    xw, w_hh, h0, c0 = _setup(t=t, seed=2)
+    w_bf16 = w_hh.T.astype(jnp.bfloat16)
+
+    ys32, (hn32, cn32) = pallas_lstm.lstm_recurrence(xw, w_hh.T, h0, c0)
+    ys16, (hn16, cn16) = pallas_lstm.lstm_recurrence(xw, w_bf16, h0, c0)
+    assert ys16.dtype == jnp.float32  # state stays f32
+    np.testing.assert_allclose(
+        np.asarray(ys16), np.asarray(ys32), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(cn16), np.asarray(cn32), atol=5e-2
+    )
+
+    def loss(xw, wt, h0, c0):
+        ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, wt, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    g16 = jax.grad(loss, argnums=(0, 1, 2, 3))(xw, w_bf16, h0, c0)
+    g32 = jax.grad(loss, argnums=(0, 1, 2, 3))(xw, w_hh.T, h0, c0)
+    assert g16[1].dtype == jnp.bfloat16
+    assert g16[0].dtype == jnp.float32
+    for a, b, name, tol in zip(
+        g16, g32, ("dxw", "dwhh", "dh0", "dc0"), (0.05, 0.3, 0.05, 0.05)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b),
+            atol=tol, err_msg=name,
+        )
+
+
+def test_gru_bf16_weights_select_mixed_precision_matmuls():
+    from multimodalreactiongeneration_tpu.ops import pallas_gru
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    b, t, h = 4, 37, 32
+    xw = jax.random.normal(ks[0], (b, t, 3 * h)) * 0.5
+    w_hh = jax.random.normal(ks[1], (3 * h, h)) * 0.2
+    b_hh = jax.random.normal(ks[2], (3 * h,)) * 0.1
+    h0 = jax.random.normal(ks[3], (b, h)) * 0.1
+    w_bf16 = w_hh.T.astype(jnp.bfloat16)
+
+    ys32, hn32 = pallas_gru.gru_recurrence(xw, w_hh.T, b_hh, h0)
+    ys16, hn16 = pallas_gru.gru_recurrence(xw, w_bf16, b_hh, h0)
+    assert ys16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(ys16), np.asarray(ys32), atol=5e-2)
+
+    def loss(xw, wt, bh, h0):
+        ys, hn = pallas_gru.gru_recurrence(xw, wt, bh, h0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5)
+
+    g16 = jax.grad(loss, argnums=(0, 1, 2, 3))(xw, w_bf16, b_hh, h0)
+    g32 = jax.grad(loss, argnums=(0, 1, 2, 3))(xw, w_hh.T, b_hh, h0)
+    assert g16[1].dtype == jnp.bfloat16
+    for a, b_, name, tol in zip(
+        g16, g32, ("dxw", "dwhh", "dbhh", "dh0"), (0.05, 0.3, 0.1, 0.05)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b_),
+            atol=tol, err_msg=name,
+        )
