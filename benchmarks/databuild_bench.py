@@ -61,6 +61,10 @@ def main():
         page_cache_state = "as-is"
         if args.drop_caches:
             try:
+                # drop_caches only evicts CLEAN pages; the corpus was
+                # written seconds ago, so flush dirty pages first or the
+                # "cold" pass reads the still-cached wavs
+                os.sync()
                 with open("/proc/sys/vm/drop_caches", "w") as f:
                     f.write("1\n")
                 page_cache_state = "dropped"

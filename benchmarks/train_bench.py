@@ -148,7 +148,9 @@ def main():
                 t0 = time.perf_counter()
                 for i in range(n):
                     eps = jnp.tanh(out[0]) * 1e-3 + i * 1e-4
-                    bt = [(x + eps, l) for x, l in bt]
+                    # keep each leaf's dtype: x + f32 eps would promote
+                    # bf16 inputs and silently time an f32 graph
+                    bt = [(x + eps.astype(x.dtype), l) for x, l in bt]
                     out = fn(params_, bt)
                 float(out[0])
                 return time.perf_counter() - t0, out
@@ -166,6 +168,18 @@ def main():
 
         def r2(x):
             return None if x is None else round(x, 2)
+
+        # eval_step does NOT apply compute_dtype internally (training
+        # eval is f32 by design) — cast params/batch up front so the
+        # bf16 breakdown actually times bf16 graphs (input dtypes
+        # propagate through the flax modules)
+        from multimodalreactiongeneration_tpu.train.harness import (
+            _cast_tree,
+        )
+
+        if compute_dtype != jnp.float32:
+            params = _cast_tree(params, compute_dtype)
+            batch = _cast_tree(batch, compute_dtype)
 
         _, eval_step = streaming_step_fns(
             model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True,
@@ -187,6 +201,8 @@ def main():
         cfg1 = dict(cfg, num_block=1)
         model1 = Metaformer(cfg=cfg1)
         params1 = jax.jit(model1.init)(jax.random.PRNGKey(1), *data[:6])
+        if compute_dtype != jnp.float32:
+            params1 = _cast_tree(params1, compute_dtype)
         _, eval1 = streaming_step_fns(
             model1, cfg1, metrics_cfg, optimizer,
             mask_self_motion_input=True, compute_dtype=compute_dtype,

@@ -329,7 +329,9 @@ _fwd_sharded = shard_batch_dim(
 _fwd_sharded_savegates = shard_batch_dim(
     _fwd_impl_savegates, batch_args=(0, 2, 3),
     out_is_batched=(True, True, True, True, True),
-    sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h, b t g",
+    # 's' not 't' for the gates output: it stays CHUNK_T-padded, so its
+    # time size differs from t whenever T % CHUNK_T != 0
+    sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h, b s g",
 )
 _bwd_sharded = shard_batch_dim(
     _bwd_impl, batch_args=(1, 2, 3, 4, 5, 6, 7, 8),

@@ -328,9 +328,15 @@ def _launch_workers(
         "MRGEN_JAX_CACHE",
         os.path.expanduser("~/.cache/mrgen-jax-test-cache"),
     )
+    # worker output goes to temp FILES, not pipes: the parent reaps
+    # workers sequentially, and a later worker blocking on a full 64 KiB
+    # pipe while an earlier one waits on it in a collective would
+    # deadlock the whole launch until the timeout
     procs = []
     for pid in range(num_processes):
-        procs.append(
+        out_f = tempfile.TemporaryFile(mode="w+")
+        err_f = tempfile.TemporaryFile(mode="w+")
+        procs.append((
             subprocess.Popen(
                 [
                     sys.executable,
@@ -348,20 +354,25 @@ def _launch_workers(
                 + extra_args,
                 cwd=repo_root,
                 env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-            )
-        )
+                stdout=out_f,
+                stderr=err_f,
+            ),
+            out_f,
+            err_f,
+        ))
     outs = []
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=timeout)
-            outs.append((p.returncode, out, err))
+        for p, out_f, err_f in procs:
+            p.wait(timeout=timeout)
+            out_f.seek(0)
+            err_f.seek(0)
+            outs.append((p.returncode, out_f.read(), err_f.read()))
     finally:
-        for p in procs:
+        for p, out_f, err_f in procs:
             if p.poll() is None:
                 p.kill()
+            out_f.close()
+            err_f.close()
     for rc, out, err in outs:
         if rc != 0:
             raise RuntimeError(

@@ -331,7 +331,7 @@ def test_vad_debug_plots_render(tmp_path):
         ],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-2000:]
     sections = json.loads(out.stdout.strip().splitlines()[-1])
