@@ -504,4 +504,12 @@ class Trainer:
                     break
         if saver is not None:
             saver.save_last(params, opt_state, result.epochs_run - 1)
+        # multi-host: no collective runs after the last eval step, so
+        # non-zero ranks would return (and possibly read ckpt_dir for the
+        # best/last checkpoint) while rank 0 is still writing it — hold
+        # every rank until rank 0's top-k/last saves are on disk
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("mrgen:fit_ckpts_complete")
         return params, result
