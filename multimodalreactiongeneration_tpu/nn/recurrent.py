@@ -166,23 +166,84 @@ class TorchLSTM(nn.Module):
             hx = (zeros, zeros)
         h0_all, c0_all = hx
 
+        # create every layer's params up front (same names/order on all
+        # paths, so torch ckpt import/export mappings never fork)
+        params = []
+        in_size = x.shape[-1]
+        for layer in range(self.num_layers):
+            per_dir = []
+            for direction in range(num_dir):
+                sfx = f"l{layer}" + ("_reverse" if direction else "")
+                per_dir.append((
+                    self.param(
+                        f"weight_ih_{sfx}", init,
+                        (4 * self.hidden_size, in_size),
+                    ),
+                    self.param(
+                        f"weight_hh_{sfx}", init,
+                        (4 * self.hidden_size, self.hidden_size),
+                    ),
+                    self.param(f"bias_ih_{sfx}", init, (4 * self.hidden_size,)),
+                    self.param(f"bias_hh_{sfx}", init, (4 * self.hidden_size,)),
+                ))
+            params.append(per_dir)
+            in_size = self.hidden_size * num_dir
+
+        # multi-layer unidirectional stacks with inactive dropout run as
+        # ONE wavefront kernel: the sequential chain is T+L-1 slots
+        # instead of L x T steps (ops/pallas_lstm_stacked.py) — the
+        # production encoders (encoder_num_layer=5, dropout 0) all
+        # qualify
+        if (
+            impl == "pallas"
+            and num_dir == 1
+            and self.num_layers > 1
+            and (self.dropout == 0 or deterministic)
+        ):
+            from multimodalreactiongeneration_tpu.ops.pallas_lstm_stacked import (
+                lstm_stacked_recurrence,
+            )
+
+            w_ih0, w_hh0, b_ih0, b_hh0 = params[0][0]
+            mm_dtype = (
+                jnp.bfloat16
+                if w_hh0.dtype == jnp.bfloat16
+                else jnp.float32
+            )
+            xw0 = (
+                jnp.einsum(
+                    "bti,hi->bth", x, w_ih0,
+                    preferred_element_type=jnp.float32,
+                )
+                + b_ih0
+                + b_hh0
+            ).astype(jnp.float32)
+            w_ih_t = jnp.stack(
+                [p[0][0].T for p in params[1:]]
+            ).astype(mm_dtype)
+            b_rest = jnp.stack(
+                [p[0][2] + p[0][3] for p in params[1:]]
+            ).astype(jnp.float32)
+            w_hh_t = jnp.stack([p[0][1].T for p in params]).astype(mm_dtype)
+            ys, (hn, cn) = lstm_stacked_recurrence(
+                xw0,
+                w_ih_t,
+                b_rest,
+                w_hh_t,
+                h0_all.astype(jnp.float32),
+                c0_all.astype(jnp.float32),
+            )
+            return ys.astype(x.dtype), (
+                hn.astype(x.dtype),
+                cn.astype(x.dtype),
+            )
+
         h_out, c_out = [], []
         layer_in = x
         for layer in range(self.num_layers):
-            in_size = layer_in.shape[-1]
             outs = []
             for direction in range(num_dir):
-                sfx = f"l{layer}" + ("_reverse" if direction else "")
-                w_ih = self.param(
-                    f"weight_ih_{sfx}", init, (4 * self.hidden_size, in_size)
-                )
-                w_hh = self.param(
-                    f"weight_hh_{sfx}",
-                    init,
-                    (4 * self.hidden_size, self.hidden_size),
-                )
-                b_ih = self.param(f"bias_ih_{sfx}", init, (4 * self.hidden_size,))
-                b_hh = self.param(f"bias_hh_{sfx}", init, (4 * self.hidden_size,))
+                w_ih, w_hh, b_ih, b_hh = params[layer][direction]
                 idx = layer * num_dir + direction
                 if impl == "pallas":
                     from multimodalreactiongeneration_tpu.ops.pallas_lstm import (

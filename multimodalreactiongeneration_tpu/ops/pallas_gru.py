@@ -21,6 +21,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK_T = 16
 
+# raise the kernel's scoped-VMEM cap above the 16 MB compiler
+# default: chunk buffers scale with batch x chunk and B>=64 at
+# H256 overflows the default even at shrunken chunks (v5e has
+# 128 MB physical VMEM; 64 MB leaves the pipeline headroom)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024
+)
+
 
 def _gates(xw_t, h_prev, whh_t, b_hh, hdim):
     # whh's dtype selects matmul precision (bf16 = full MXU rate);
@@ -157,19 +165,21 @@ def _bwd_kernel(
 
 
 from multimodalreactiongeneration_tpu.ops.partitioning import (
+    chunk_t as _chunk_t,
     pad_time as _pad_time,
 )
 
 
 def _fwd_common(xw, w_hh_t, b_hh, h0, save_hh):
-    xw_p, t_real = _pad_time(xw, CHUNK_T)
+    tc = _chunk_t(xw.shape[0])
+    xw_p, t_real = _pad_time(xw, tc)
     b, t_pad, g3 = xw_p.shape
     h = g3 // 3
-    nt = t_pad // CHUNK_T
+    nt = t_pad // tc
     b_hh2 = b_hh.reshape(1, g3)
 
     chunk_spec = lambda d: pl.BlockSpec(
-        (b, CHUNK_T, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        (b, tc, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
     )
     state_spec = pl.BlockSpec((b, h), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -195,6 +205,7 @@ def _fwd_common(xw, w_hh_t, b_hh, h0, save_hh):
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        compiler_params=_COMPILER_PARAMS,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
     )(xw_p, w_hh_t, b_hh2, h0)
     ys, hn = outs[:2]
@@ -214,12 +225,13 @@ def _fwd_impl_savehh(xw, w_hh_t, b_hh, h0):
 
 
 def _bwd_impl(xw, w_hh_t, h0, ys, hh_all, dys, dhn):
-    xw_p, t_real = _pad_time(xw, CHUNK_T)
-    ys_p, _ = _pad_time(ys, CHUNK_T)
-    dys_p, _ = _pad_time(dys, CHUNK_T)
+    tc = _chunk_t(xw.shape[0])  # matches the vjp-fwd's choice (same B)
+    xw_p, t_real = _pad_time(xw, tc)
+    ys_p, _ = _pad_time(ys, tc)
+    dys_p, _ = _pad_time(dys, tc)
     b, t_pad, g3 = xw_p.shape
     h = g3 // 3
-    nt = t_pad // CHUNK_T
+    nt = t_pad // tc
     rev = lambda t: (0, nt - 1 - t, 0)
     mm = w_hh_t.dtype  # bf16 weights -> bf16 matmuls, f32 accumulate
     # right-shifted trajectory with the TRUE initial state in slot 0;
@@ -230,16 +242,16 @@ def _bwd_impl(xw, w_hh_t, h0, ys, hh_all, dys, dhn):
         functools.partial(_bwd_kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -247,6 +259,7 @@ def _bwd_impl(xw, w_hh_t, h0, ys, hh_all, dys, dhn):
             jax.ShapeDtypeStruct((b, t_pad, g3), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
     )(xw_p, w_hh_t, hh_all, ys_shift, dys_p, dhn)
 

@@ -48,7 +48,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK_T = 16
+CHUNK_T = 16  # the B<=32 chunk; larger batches shrink it (chunk_t)
+
+# raise the kernel's scoped-VMEM cap above the 16 MB compiler
+# default: chunk buffers scale with batch x chunk and B>=64 at
+# H256 overflows the default even at shrunken chunks (v5e has
+# 128 MB physical VMEM; 64 MB leaves the pipeline headroom)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024
+)
 
 
 def _fwd_kernel(
@@ -197,6 +205,7 @@ def _bwd_kernel(
 
 
 from multimodalreactiongeneration_tpu.ops.partitioning import (
+    chunk_t as _chunk_t,
     pad_time as _pad_time,
 )
 
@@ -206,13 +215,14 @@ def _fwd_common(xw, w_hh_t, h0, c0, save_gates):
 
     save_gates=True (vjp-fwd path) additionally writes the gate
     pre-activation trajectory (B, T_pad, 4H) for the backward."""
-    xw_p, t_real = _pad_time(xw, CHUNK_T)
+    tc = _chunk_t(xw.shape[0])
+    xw_p, t_real = _pad_time(xw, tc)
     b, t_pad, g4 = xw_p.shape
     h = g4 // 4
-    nt = t_pad // CHUNK_T
+    nt = t_pad // tc
 
     chunk_spec = lambda d: pl.BlockSpec(
-        (b, CHUNK_T, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        (b, tc, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
     )
     state_spec = pl.BlockSpec((b, h), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -240,6 +250,7 @@ def _fwd_common(xw, w_hh_t, h0, c0, save_gates):
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        compiler_params=_COMPILER_PARAMS,
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
@@ -262,12 +273,13 @@ def _fwd_impl_savegates(xw, w_hh_t, h0, c0):
 
 
 def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
-    ys_p, t_real = _pad_time(ys, CHUNK_T)
-    cs_p, _ = _pad_time(cs, CHUNK_T)
-    dys_p, _ = _pad_time(dys, CHUNK_T)
+    tc = _chunk_t(ys.shape[0])  # matches the vjp-fwd's choice (same B)
+    ys_p, t_real = _pad_time(ys, tc)
+    cs_p, _ = _pad_time(cs, tc)
+    dys_p, _ = _pad_time(dys, tc)
     b, t_pad, g4 = gates_all.shape  # gates come in PADDED from vjp-fwd
     h = g4 // 4
-    nt = t_pad // CHUNK_T
+    nt = t_pad // tc
     rev = lambda t: (0, nt - 1 - t, 0)
     mm = w_hh_t.dtype  # bf16 weights -> bf16 matmuls, f32 accumulate
 
@@ -280,15 +292,15 @@ def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
         functools.partial(_bwd_kernel, t_real=t_real),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((b, CHUNK_T, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK_T, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((b, CHUNK_T, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tc, g4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
@@ -297,6 +309,7 @@ def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
             jax.ShapeDtypeStruct((b, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),

@@ -109,6 +109,18 @@ def shard_batch_dim(
     return wrapped
 
 
+def chunk_t(batch: int) -> int:
+    """Time-chunk length for the recurrence kernels, scaled to batch.
+
+    The chunked VMEM working set (xw/gates/ys/cs blocks, double-buffered
+    by the Pallas pipeline) grows as batch x chunk: B64 x chunk16 at
+    H256 was an observed compile OOM against the 16 MB scoped-VMEM
+    compiler default (the kernels now also raise that cap to 64 MB via
+    CompilerParams). 8 is the hardware floor — Mosaic requires the
+    second-minor block dim divisible by 8."""
+    return 16 if batch <= 32 else 8
+
+
 def pad_time(x, tc):
     """Pad axis 1 up to a multiple of tc (the kernels' time chunk).
 

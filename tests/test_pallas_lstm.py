@@ -192,3 +192,34 @@ def test_gru_bf16_weights_select_mixed_precision_matmuls():
             np.asarray(a, dtype=np.float32), np.asarray(b_),
             atol=tol, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("b", [64, 128])
+def test_large_batch_adaptive_chunk(b):
+    """B>32 shrinks the time chunk (ops/partitioning.py chunk_t) so the
+    kernel's scoped VMEM stays under the v5e 16 MB cap — B64 x chunk16
+    was an observed compile-time OOM. Numerics must be unchanged, with T
+    not a multiple of the shrunken chunk to exercise the padding path."""
+    from multimodalreactiongeneration_tpu.ops.partitioning import chunk_t
+
+    assert chunk_t(32) == 16 and chunk_t(b) < 16
+    xw, w_hh, h0, c0 = _setup(b=b, t=13, h=16, seed=b)
+    ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, w_hh.T, h0, c0)
+    ys_ref, hn_ref, cn_ref = _scan_ref(xw, w_hh, h0, c0)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_ref), atol=1e-5)
+
+    def loss_p(xw, wt):
+        ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, wt, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5)
+
+    def loss_s(xw, wt):
+        ys, hn, cn = _scan_ref(xw, wt.T, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(xw, w_hh.T)
+    g_s = jax.grad(loss_s, argnums=(0, 1))(xw, w_hh.T)
+    for a, b_, name in zip(g_p, g_s, ("dxw", "dwhh")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=name
+        )
