@@ -294,6 +294,9 @@ class RecurrentMixerLayerd(nn.Module):
     ):
         if self.input_projection_size is not None:
             x = nn.Dense(self.hidden_size, name="input_projection")(x)
+        fused = self._fused_stack(x, hx, deterministic)
+        if fused is not None:
+            return fused
         new_states = []
         for i in range(self.num_layerd):
             block_hx = None if hx is None else hx[i]
@@ -314,6 +317,122 @@ class RecurrentMixerLayerd(nn.Module):
         if self.output_projection_size is not None:
             x = nn.Dense(self.output_projection_size, name="output_projection")(x)
         return x, new_states
+
+    def _fused_stack(self, x, hx, deterministic):
+        """Run the whole block stack as ONE chunk-lag wavefront kernel
+        (ops/pallas_mixer_stack.py); returns None to fall back.
+
+        OPT-IN via MRGEN_FUSED_ENCODER=1: the fused FORWARD measures
+        1.9x the unfused stack (5.6 vs 10.7 ms, audio encoder
+        B32 x T1920 x H256 x L5 on v5e, 2026-08-17), but training is
+        backward-dominated and the fused fwd+bwd measures 43 vs 32 ms —
+        the reverse wavefront must re-run the block tails per chunk on
+        the serial chain, which the unfused path gets as full-sequence
+        XLA ops. Enable for forward-heavy workloads (eval sweeps,
+        forward-only feature extraction); training keeps the per-layer
+        kernels by default. Measured numbers and the schedule design
+        live in the kernel module docstring.
+
+        Params are declared through the low-level scope API at the
+        EXACT paths the unfused submodules would create
+        (block_i/mixer/..., block_i/mixer_norm, block_i/feed_forward/
+        feedforward, block_i/feed_forward/LayerNorm_0) with the same
+        initializers, so checkpoints, torch import/export maps and
+        same-seed inits are path- and value-identical on both paths.
+        """
+        import math
+        import os
+
+        from multimodalreactiongeneration_tpu.nn.recurrent import (
+            _uniform_init,
+            resolve_impl,
+        )
+
+        if os.environ.get("MRGEN_FUSED_ENCODER", "0") != "1":
+            return None
+        if not (
+            self.kind == "lstm"
+            and self.num_internal_layer == 1
+            and not self.bidirectional
+            and self.num_layerd > 1
+            and self.residual
+            and self.residual_layer_norm
+            and set_nonlinearity(self.nonlinearity) is None
+            and self.use_bias
+            and (self.dropout == 0 or deterministic)
+            and x.shape[-1] == self.hidden_size
+            and resolve_impl("auto", x.shape[1]) == "pallas"
+        ):
+            return None
+        from multimodalreactiongeneration_tpu.ops.pallas_mixer_stack import (
+            mixer_stack_recurrence,
+        )
+
+        h = self.hidden_size
+        bound = 1.0 / math.sqrt(h)
+        lstm_init = _uniform_init(bound)
+        ones = nn.initializers.ones_init()
+        zeros = nn.initializers.zeros_init()
+        lecun = nn.initializers.lecun_normal()
+        w_ih, b_g, w_hh, w_ff, b_ff, g1, b1, g2, b2 = (
+            [], [], [], [], [], [], [], [], []
+        )
+        for i in range(self.num_layerd):
+            blk = self.scope.push(f"block_{i}")
+            mixer = blk.push("mixer")
+            w_ih.append(mixer.param("weight_ih_l0", lstm_init, (4 * h, h)).T)
+            w_hh.append(mixer.param("weight_hh_l0", lstm_init, (4 * h, h)).T)
+            b_g.append(
+                mixer.param("bias_ih_l0", lstm_init, (4 * h,))
+                + mixer.param("bias_hh_l0", lstm_init, (4 * h,))
+            )
+            norm1 = blk.push("mixer_norm")
+            g1.append(norm1.param("scale", ones, (h,)))
+            b1.append(norm1.param("bias", zeros, (h,)))
+            ff = blk.push("feed_forward")
+            dense = ff.push("feedforward")
+            w_ff.append(dense.param("kernel", lecun, (h, h)))
+            b_ff.append(dense.param("bias", zeros, (h,)))
+            norm2 = ff.push("LayerNorm_0")
+            g2.append(norm2.param("scale", ones, (h,)))
+            b2.append(norm2.param("bias", zeros, (h,)))
+
+        st = lambda xs: jnp.stack(xs)
+        mm = (
+            jnp.bfloat16
+            if w_hh[0].dtype == jnp.bfloat16
+            else jnp.float32
+        )
+        f32 = jnp.float32
+        num_layers = self.num_layerd
+        if hx is None:
+            h0 = jnp.zeros((num_layers, x.shape[0], h), f32)
+            c0 = h0
+        else:
+            h0 = jnp.concatenate([p[0] for p in hx], axis=0).astype(f32)
+            c0 = jnp.concatenate([p[1] for p in hx], axis=0).astype(f32)
+        y, (hn, cn) = mixer_stack_recurrence(
+            x.astype(f32),
+            st(w_ih).astype(mm),
+            st(b_g).astype(f32),
+            st(w_hh).astype(mm),
+            st(w_ff).astype(mm),
+            st(b_ff).astype(f32),
+            st(g1).astype(f32),
+            st(b1).astype(f32),
+            st(g2).astype(f32),
+            st(b2).astype(f32),
+            h0,
+            c0,
+        )
+        y = y.astype(x.dtype)
+        new_states = [
+            (hn[l][None].astype(x.dtype), cn[l][None].astype(x.dtype))
+            for l in range(num_layers)
+        ]
+        if self.output_projection_size is not None:
+            y = nn.Dense(self.output_projection_size, name="output_projection")(y)
+        return y, new_states
 
 
 class MHAMixerLayerd(nn.Module):

@@ -1,0 +1,664 @@
+"""Pallas TPU kernel: a recurrent-mixer block STACK as one chunk-lag
+wavefront.
+
+The metaformer's modality encoders are ``RecurrentMixerLayerd`` stacks of
+``encoder_num_layer`` blocks, each block being LSTM -> +x -> LayerNorm ->
+Dense(H->H) -> +res -> LayerNorm (reference mixer_block.py:355-507 with
+the production flags residual=True, residual_layer_norm=True,
+nonlinearity=None; lstmformer/config.yaml:38-44). Run block-by-block,
+each block is its own recurrence kernel separated by XLA FFN/LN ops: the
+sequential chain is ``L x T`` cell updates plus 2L full (B, T, H) HBM
+round-trips — ~35 ms of the 60 ms B32 x T240 train step.
+
+Scheduling insight: only the LSTM CELL is inherently sequential; the
+block tail (residual+LN+Dense+LN) is parallel across time. A plain
+per-timestep wavefront (layer lag 1) puts the tail on the serial chain
+at single-row VPU efficiency and measures SLOWER than the unfused
+stack. This kernel instead lags each block by one K-step chunk
+(K = CHUNK_S): per grid step it
+  1. advances all L blocks' cells K sequential steps, each step one
+     LAYER-BATCHED pair of matmuls (einsum over (B, L, H) x (L, H, 4H)
+     — the only serial work), then
+  2. runs the K-timestep tails of all L blocks as ONE batched
+     (B, L, K, H) LN->Dense->LN pass at full VPU/MXU width, feeding
+     block l+1's next-chunk cell inputs through VMEM scratch.
+The sequential chain is ``T + (L-1)K`` cell steps with the tail cost
+amortized K-fold, and no inter-block HBM round-trips.
+
+Trajectories are stored slot-indexed with chunk lag: block ``l``'s time
+``t`` lives at slot ``s = t + l*K``, so one grid index reads every
+block's correct chunk. Invalid slots freeze h/c at the block state,
+which makes the backward's one-slot-shifted c/h reads correct at every
+block's first step.
+
+The backward mirrors the schedule (tail-bwd batched, then K reverse
+cell steps) and emits only the dgates trajectory plus dh0/dc0; weight,
+bias and LN-scale gradients and the dx0 cotangent reduce OUTSIDE the
+kernel as full-sequence einsums plus a cheap L-step top-down residual
+chain (_vjp_bwd) — the "only the truly sequential work stays in-kernel"
+split of ops/pallas_lstm.py.
+
+Numerics: f32 state/accumulation; weight dtype selects MXU matmul
+precision (bf16 weights = full-rate bf16 matmuls). Matches the unfused
+module stack to ~1e-5 f32 incl. every gradient
+(tests/test_pallas_mixer_stack.py), and train-step losses track the
+scan path to 4e-4 over 3 steps on-chip.
+
+MEASURED RESULT (v5e, audio encoder B32 x T1920 x H256 x L5,
+2026-08-17): forward 5.6 ms fused vs 10.7 ms unfused (1.9x) — the
+inter-block HBM round-trips and 4/5 of the cell-chain latency are
+gone. Training does NOT win: fused fwd+bwd is 43.2 ms vs 32.1 ms
+unfused (bwd kernel alone 25.1 ms — the reverse wavefront re-runs the
+block tails per chunk ON the serial chain, where the unfused path gets
+them as fully-parallel XLA ops over the whole sequence; plus ~12 ms of
+full-sequence recompute in _vjp_bwd). Wiring is therefore OPT-IN
+(MRGEN_FUSED_ENCODER=1 in RecurrentMixerLayerd._fused_stack) for
+forward-heavy workloads; the default training path keeps the
+per-layer ops/pallas_lstm.py kernels. Two earlier schedules measured
+worse and shaped this one: a lag-1 wavefront with per-timestep tails
+(90 ms full step vs 58 baseline — single-row VPU tails on the chain)
+and a layer-batched-matmul variant with per-step (B,L,H)<->(L,B,H)
+relayouts (83 ms — Mosaic vector relayouts dominate at these sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK_S = 8  # time chunk AND per-block lag
+LN_EPS = 1e-5
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024
+)
+
+
+def _ln_fwd(r, scale, bias):
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (r - mu) * rstd
+    return xhat * scale + bias, xhat, rstd
+
+
+def _ln_bwd(g, xhat, rstd, scale):
+    """dL/dr for out = xhat * scale + bias (standard LN backward)."""
+    gg = g * scale
+    return rstd * (
+        gg
+        - jnp.mean(gg, axis=-1, keepdims=True)
+        - xhat * jnp.mean(gg * xhat, axis=-1, keepdims=True)
+    )
+
+
+def _split_gates4(gates, h):
+    """Split (..., 4H) gate pre-activations, torch order i,f,g,o."""
+    ii = jax.nn.sigmoid(gates[..., :h])
+    ff = jax.nn.sigmoid(gates[..., h : 2 * h])
+    gg = jnp.tanh(gates[..., 2 * h : 3 * h])
+    oo = jax.nn.sigmoid(gates[..., 3 * h :])
+    return ii, ff, gg, oo
+
+
+def _fwd_kernel(
+    x0_ref, wih_ref, bg_ref, whh_ref, wff_ref, bff_ref,
+    g1_ref, b1_ref, g2_ref, b2_ref, h0_ref, c0_ref,
+    gs_ref, cs_ref, hs_ref, os_ref, hn_ref, cn_ref,
+    h_scr, c_scr, xin_scr,
+    *, t_real, num_layers,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = x0_ref.shape[1]
+    hdim = h_scr.shape[-1]
+    L = num_layers
+
+    @pl.when(t == 0)
+    def _():
+        for l in range(L):
+            h_scr[l] = h0_ref[:, l]
+            c_scr[l] = c0_ref[:, l]
+        xin_scr[:] = jnp.zeros_like(xin_scr)
+
+    # block 0 consumes this grid step's streamed x0 chunk directly
+    xin_scr[0] = x0_ref[:]
+
+    # ---- phase 1: K sequential cell steps, per-layer static ops ----
+    # every access is layout-native: static layer index + traced k on
+    # the proven ref pattern, no stacks/swaps in the hot loop (vector
+    # relayouts per step measured 3-4x slower than the cells themselves)
+    def cell(k, _):
+        # slot s = t*tc + k; block l's local time = s - l*tc
+        s = t * tc + k
+        for l in range(L):
+            x_l = xin_scr[l, :, k]  # (B, H)
+            h_l = h_scr[l]
+            gates = (
+                jnp.dot(
+                    x_l.astype(wih_ref.dtype), wih_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    h_l.astype(whh_ref.dtype), whh_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + bg_ref[l]
+            )
+            ii, ff, gg, oo = _split_gates4(gates, hdim)
+            c = ff * c_scr[l] + ii * gg
+            rnn = oo * jnp.tanh(c)
+            tt = s - l * tc
+            valid = jnp.logical_and(tt >= 0, tt < t_real)
+            h_new = jnp.where(valid, rnn, h_l)
+            c_new = jnp.where(valid, c, c_scr[l])
+            h_scr[l] = h_new
+            c_scr[l] = c_new
+            gs_ref[:, l, k] = gates
+            hs_ref[:, l, k] = h_new
+            cs_ref[:, l, k] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, cell, 0)
+
+    # ---- phase 2: batched K-timestep block tails, (L, B, K, H) ----
+    rnn_chunk = jnp.stack(
+        [hs_ref[:, l] for l in range(L)], axis=0
+    )  # frozen h == rnn at valid steps
+    r1 = rnn_chunk + xin_scr[:]
+    y, _, _ = _ln_fwd(
+        r1, g1_ref[:][:, None, None], b1_ref[:][:, None, None]
+    )
+    z = (
+        jax.lax.dot_general(
+            y.astype(wff_ref.dtype), wff_ref[:],
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + bff_ref[:][:, None, None]
+    )
+    out, _, _ = _ln_fwd(
+        z + y, g2_ref[:][:, None, None], b2_ref[:][:, None, None]
+    )
+    for l in range(L):
+        os_ref[:, l] = out[l]
+    # next grid step: block l+1's cell input = block l's tail output
+    xin_scr[1:] = out[: L - 1]
+
+    @pl.when(t == nt - 1)
+    def _():
+        for l in range(L):
+            hn_ref[:, l] = h_scr[l]
+            cn_ref[:, l] = c_scr[l]
+
+
+def _bwd_kernel(
+    gs_ref, csp_ref, hs_ref, xs_ref, dys_ref,
+    wih_ref, whh_ref, wff_ref, bff_ref, g1_ref, b1_ref, g2_ref,
+    dhn_ref, dcn_ref,
+    dgs_ref, dh0_ref, dc0_ref,
+    dh_scr, dc_scr, dx_scr, dr1_scr,
+    *, t_real, num_layers,
+):
+    """Reverse chunk-lag wavefront; emits the dgates trajectory only.
+
+    Streams saved gates, the one-slot-shifted c trajectory, the h
+    trajectory (h == rnn at valid slots) and xs (block inputs: x0 for
+    block 0, the K-slot-shifted out trajectory of the block below
+    otherwise). Per grid step: batched tail-bwd (dout -> dr2 -> dy ->
+    dr1 at (B, L, K, H) width), K reverse layer-batched cell steps,
+    then the batched dx chunk for the block below, carried in scratch.
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = gs_ref.shape[2]
+    hdim = csp_ref.shape[-1]
+    L = num_layers
+
+    @pl.when(t == 0)
+    def _():
+        for l in range(L):
+            dh_scr[l] = dhn_ref[:, l]
+            dc_scr[l] = dcn_ref[:, l]
+        dx_scr[:] = jnp.zeros_like(dx_scr)
+
+    g = nt - 1 - t  # forward grid index of this chunk
+
+    # ---- phase 1: batched tail backward, (L, B, K, H) layout ----
+    rnn_chunk = jnp.stack([hs_ref[:, l] for l in range(L)], axis=0)
+    x_chunk = jnp.stack([xs_ref[:, l] for l in range(L)], axis=0)
+    r1 = rnn_chunk + x_chunk
+    y, xhat1, rstd1 = _ln_fwd(
+        r1, g1_ref[:][:, None, None], b1_ref[:][:, None, None]
+    )
+    z = (
+        jax.lax.dot_general(
+            y.astype(wff_ref.dtype), wff_ref[:],
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + bff_ref[:][:, None, None]
+    )
+    r2 = z + y
+    mu2 = jnp.mean(r2, axis=-1, keepdims=True)
+    var2 = jnp.mean(r2 * r2, axis=-1, keepdims=True) - mu2 * mu2
+    rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
+    xhat2 = (r2 - mu2) * rstd2
+
+    # dout: top block from the output cotangent; others from the block
+    # above's dx of the PREVIOUS reverse grid step (same time chunk)
+    dout = jnp.concatenate([dx_scr[1:], dys_ref[:][None]], axis=0)
+    dr2 = _ln_bwd(dout, xhat2, rstd2, g2_ref[:][:, None, None])
+    dy = (
+        jax.lax.dot_general(
+            dr2.astype(wff_ref.dtype), wff_ref[:],
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + dr2
+    )
+    dr1 = _ln_bwd(dy, xhat1, rstd1, g1_ref[:][:, None, None])
+    # stage dr1 through scratch: the cell loop needs per-step slices
+    # and Mosaic TC cannot dynamic_slice an array value
+    dr1_scr[:] = dr1
+
+    # ---- phase 2: K reverse cell steps, per-layer static ops ----
+    def cell(j, _):
+        k = tc - 1 - j
+        s = g * tc + k
+        for l in range(L):
+            gates = gs_ref[:, l, k]
+            c_prev = csp_ref[:, l, k]
+            ii, ff, gg, oo = _split_gates4(gates, hdim)
+            c = ff * c_prev + ii * gg
+            tanh_c = jnp.tanh(c)
+            drnn = dr1_scr[l, :, k] + dh_scr[l]
+            do = drnn * tanh_c
+            dc = drnn * oo * (1.0 - tanh_c * tanh_c) + dc_scr[l]
+            di = dc * gg
+            df = dc * c_prev
+            dg = dc * ii
+            dc_prev = dc * ff
+            dgates = jnp.concatenate(
+                [
+                    di * ii * (1.0 - ii),
+                    df * ff * (1.0 - ff),
+                    dg * (1.0 - gg * gg),
+                    do * oo * (1.0 - oo),
+                ],
+                axis=-1,
+            )
+            tt = s - l * tc
+            valid = jnp.logical_and(tt >= 0, tt < t_real)
+            dgates = jnp.where(valid, dgates, 0.0)
+            dgs_ref[:, l, k] = dgates
+            dh_prev = jax.lax.dot_general(
+                dgates.astype(whh_ref.dtype), whh_ref[l],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh_scr[l] = jnp.where(valid, dh_prev, dh_scr[l])
+            dc_scr[l] = jnp.where(valid, dc_prev, dc_scr[l])
+        return 0
+
+    jax.lax.fori_loop(0, tc, cell, 0)
+
+    # ---- phase 3: batched dx chunk for the block below ----
+    dg_chunk = jnp.stack([dgs_ref[:, l] for l in range(L)], axis=0)
+    dx = (
+        jax.lax.dot_general(
+            dg_chunk.astype(wih_ref.dtype), wih_ref[:],
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + dr1_scr[:]
+    )
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tc, 1), 2)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1, 1), 0)
+    tt = g * tc + kidx - lidx * tc
+    dx_scr[:] = jnp.where(
+        jnp.logical_and(tt >= 0, tt < t_real), dx, 0.0
+    )
+
+    @pl.when(t == nt - 1)
+    def _():
+        for l in range(L):
+            dh0_ref[:, l] = dh_scr[l]
+            dc0_ref[:, l] = dc_scr[l]
+
+
+def _slot_pad_len(t: int, num_layers: int) -> int:
+    s = t + (num_layers - 1) * CHUNK_S
+    return s + (-s) % CHUNK_S
+
+
+def _pad_slots(x, axis, s_pad):
+    pad = s_pad - x.shape[axis]
+    if pad:
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        x = jnp.pad(x, cfg)
+    return x
+
+
+def _make_fwd(t_real: int):
+    def fwd(x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
+        b, s_pad, h = x0s.shape
+        num_layers = w_hh_t.shape[0]
+        g4 = 4 * h
+        nt = s_pad // CHUNK_S
+        chunk = lambda d: pl.BlockSpec(
+            (b, num_layers, CHUNK_S, d), lambda t: (0, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        state = pl.BlockSpec(
+            (b, num_layers, h), lambda t: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda t: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel, t_real=t_real, num_layers=num_layers
+            ),
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec(
+                    (b, CHUNK_S, h), lambda t: (0, t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                full(w_ih_t.shape), full(b_g.shape), full(w_hh_t.shape),
+                full(w_ff.shape), full(b_ff.shape),
+                full(g1.shape), full(b1.shape),
+                full(g2.shape), full(b2.shape),
+                state, state,
+            ],
+            out_specs=(chunk(g4), chunk(h), chunk(h), chunk(h), state, state),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, g4), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+            ),
+            compiler_params=_COMPILER_PARAMS,
+            scratch_shapes=[
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+            ],
+        )(x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0)
+
+    return fwd
+
+
+def _make_bwd(t_real: int):
+    def bwd(gs, csp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
+            dhn, dcn):
+        b, num_layers, s_pad, g4 = gs.shape
+        h = g4 // 4
+        nt = s_pad // CHUNK_S
+        rev = lambda d: pl.BlockSpec(
+            (b, num_layers, CHUNK_S, d),
+            lambda t: (0, 0, nt - 1 - t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        state = pl.BlockSpec(
+            (b, num_layers, h), lambda t: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda t: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _bwd_kernel, t_real=t_real, num_layers=num_layers
+            ),
+            grid=(nt,),
+            in_specs=[
+                rev(g4), rev(h), rev(h), rev(h),
+                pl.BlockSpec(
+                    (b, CHUNK_S, h), lambda t: (0, nt - 1 - t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                full(w_ih_t.shape), full(w_hh_t.shape), full(w_ff.shape),
+                full(b_ff.shape), full(g1.shape), full(b1.shape),
+                full(g2.shape),
+                state, state,
+            ],
+            out_specs=(rev(g4), state, state),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, g4), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+            ),
+            compiler_params=_COMPILER_PARAMS,
+            scratch_shapes=[
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+            ],
+        )(gs, csp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
+          dhn, dcn)
+
+    return bwd
+
+
+from multimodalreactiongeneration_tpu.ops.partitioning import (  # noqa: E402
+    shard_batch_dim,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_sharded_for(t_real: int):
+    return shard_batch_dim(
+        _make_fwd(t_real),
+        batch_args=(0, 10, 11),
+        out_is_batched=(True,) * 6,
+        sharding_rule=(
+            "b s h, l h g, l g, l h g, l h i, l h, l h, l h, l h, l h, "
+            "b l h, b l h "
+            "-> b l s g, b l s h, b l s h, b l s h, b l h, b l h"
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_sharded_for(t_real: int):
+    return shard_batch_dim(
+        _make_bwd(t_real),
+        batch_args=(0, 1, 2, 3, 4, 12, 13),
+        out_is_batched=(True, True, True),
+        sharding_rule=(
+            "b l s g, b l s h, b l s h, b l s h, b s h, "
+            "l h g, l h g, l h i, l h, l h, l h, l h, b l h, b l h "
+            "-> b l s g, b l h, b l h"
+        ),
+    )
+
+
+@jax.custom_vjp
+def mixer_stack_recurrence(
+    x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0
+):
+    """Fused L-block recurrent-mixer stack (see module docstring).
+
+    x0:      (B, T, H) stack input, float32
+    w_ih_t:  (L, H, 4H) per-block LSTM input weights, transposed (dtype
+             selects MXU matmul precision)
+    b_g:     (L, 4H) b_ih + b_hh per block, float32
+    w_hh_t:  (L, H, 4H)
+    w_ff:    (L, H, H) per-block Dense kernels ((in, out) flax layout)
+    b_ff:    (L, H)
+    g1/b1:   (L, H) mixer_norm scale/bias;  g2/b2: feed_forward LN
+    h0, c0:  (L, B, H) per-block LSTM states, float32
+    Returns (out_top (B, T, H), (h_n (L, B, H), c_n (L, B, H))).
+    """
+    out, _ = _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
+                      h0, c0)
+    return out
+
+
+def _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
+    b, t, h = x0.shape
+    num_layers = w_hh_t.shape[0]
+    s_pad = _slot_pad_len(t, num_layers)
+    x0s = _pad_slots(x0, 1, s_pad)
+    h0b = jnp.swapaxes(h0, 0, 1)
+    c0b = jnp.swapaxes(c0, 0, 1)
+    gs, cs, hs, os_, hn, cn = _fwd_sharded_for(t)(
+        x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0b, c0b
+    )
+    off = (num_layers - 1) * CHUNK_S
+    out_top = os_[:, num_layers - 1, off : off + t]
+    out = (out_top, (jnp.swapaxes(hn, 0, 1), jnp.swapaxes(cn, 0, 1)))
+    res = (x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
+           h0b, c0b, gs, cs, hs, os_)
+    return out, res
+
+
+def _vjp_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
+    return _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
+                    h0, c0)
+
+
+def _vjp_bwd(res, cot):
+    (x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
+     h0b, c0b, gs, cs, hs, os_) = res
+    dout_top, (dhn, dcn) = cot
+    t = dout_top.shape[1]
+    b, num_layers, s_pad, h = hs.shape
+    K = CHUNK_S
+    mm = w_hh_t.dtype
+    f32 = jnp.float32
+
+    # block inputs per slot: block 0 reads x0 (t == s), block l reads
+    # block l-1's output K slots earlier (the chunk lag)
+    below = os_[:, : num_layers - 1]
+    below = jnp.concatenate(
+        [jnp.zeros((b, num_layers - 1, K, h), f32), below[:, :, :-K]],
+        axis=2,
+    )
+    xs = jnp.concatenate([x0s[:, None], below], axis=1)
+    csp = jnp.concatenate([c0b[:, :, None], cs[:, :, :-1]], axis=2)
+
+    off = (num_layers - 1) * K
+    dys_slot = jnp.zeros((b, s_pad, h), f32)
+    dys_slot = jax.lax.dynamic_update_slice(
+        dys_slot, dout_top.astype(f32), (0, off, 0)
+    )
+
+    dgs, dh0b, dc0b = _bwd_sharded_for(t)(
+        gs, csp, hs, xs, dys_slot,
+        w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
+        jnp.swapaxes(dhn, 0, 1).astype(f32),
+        jnp.swapaxes(dcn, 0, 1).astype(f32),
+    )
+
+    # ---- full-sequence recompute of the block tails for weight grads
+    # (valid slots only matter: every sum below is gated by dgates == 0
+    # or the zero-propagating dout chain) ----
+    r1 = hs + xs
+    mu1 = jnp.mean(r1, axis=-1, keepdims=True)
+    var1 = jnp.mean(r1 * r1, axis=-1, keepdims=True) - mu1 * mu1
+    rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
+    xhat1 = (r1 - mu1) * rstd1
+    y = xhat1 * g1[None, :, None] + b1[None, :, None]
+    z = jnp.einsum(
+        "blsh,lhi->blsi", y.astype(mm), w_ff.astype(mm),
+        preferred_element_type=f32,
+    ) + b_ff[None, :, None]
+    r2 = z + y
+    mu2 = jnp.mean(r2, axis=-1, keepdims=True)
+    var2 = jnp.mean(r2 * r2, axis=-1, keepdims=True) - mu2 * mu2
+    rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
+    xhat2 = (r2 - mu2) * rstd2
+
+    def ln_bwd(gout, xhat, rstd, scale):
+        ggd = gout * scale
+        return rstd * (
+            ggd
+            - jnp.mean(ggd, axis=-1, keepdims=True)
+            - xhat * jnp.mean(ggd * xhat, axis=-1, keepdims=True)
+        )
+
+    # top-down residual chain: per block, dout -> dr2 -> dy -> dr1; the
+    # block below receives (dgates @ W_ih^T + dr1) shifted K slots left
+    douts = [None] * num_layers
+    dzs = [None] * num_layers
+    dr1_0 = None
+    dys_cur = dys_slot
+    for l in range(num_layers - 1, -1, -1):
+        dout = dys_cur
+        dr2 = ln_bwd(dout, xhat2[:, l], rstd2[:, l], g2[l])
+        dz = dr2
+        dy = jnp.einsum(
+            "bsi,hi->bsh", dz.astype(mm), w_ff[l].astype(mm),
+            preferred_element_type=f32,
+        ) + dr2
+        dr1 = ln_bwd(dy, xhat1[:, l], rstd1[:, l], g1[l])
+        douts[l] = dout
+        dzs[l] = dz
+        if l > 0:
+            dx = jnp.einsum(
+                "bsg,hg->bsh", dgs[:, l].astype(mm), w_ih_t[l].astype(mm),
+                preferred_element_type=f32,
+            ) + dr1
+            dys_cur = jnp.concatenate(
+                [dx[:, K:], jnp.zeros((b, K, h), f32)], axis=1
+            )
+        else:
+            dr1_0 = dr1
+
+    douts_all = jnp.stack(douts, axis=1)  # (B, L, S, H)
+    dzs_all = jnp.stack(dzs, axis=1)
+    # dy per block, recomputed batched for the LN1 parameter grads
+    dys_all = dzs_all @ jnp.swapaxes(w_ff, 1, 2).astype(f32) + ln_bwd(
+        douts_all, xhat2, rstd2, g2[None, :, None]
+    )
+
+    dg2 = jnp.einsum("blsh,blsh->lh", douts_all, xhat2)
+    db2 = jnp.einsum("blsh->lh", douts_all)
+    dwff = jnp.einsum(
+        "blsh,blsi->lhi", y.astype(mm), dzs_all.astype(mm),
+        preferred_element_type=f32,
+    ).astype(w_ff.dtype)
+    dbff = jnp.einsum("blsh->lh", dzs_all)
+    dg1 = jnp.einsum("blsh,blsh->lh", dys_all, xhat1)
+    db1 = jnp.einsum("blsh->lh", dys_all)
+
+    hsp = jnp.concatenate([h0b[:, :, None], hs[:, :, :-1]], axis=2)
+    dwhh = jnp.einsum(
+        "blsh,blsg->lhg", hsp.astype(mm), dgs.astype(mm),
+        preferred_element_type=f32,
+    ).astype(w_hh_t.dtype)
+    dwih = jnp.einsum(
+        "blsh,blsg->lhg", xs.astype(mm), dgs.astype(mm),
+        preferred_element_type=f32,
+    ).astype(w_ih_t.dtype)
+    dbg = jnp.einsum("blsg->lg", dgs)
+
+    dx0 = (
+        jnp.einsum(
+            "bsg,hg->bsh", dgs[:, 0].astype(mm), w_ih_t[0].astype(mm),
+            preferred_element_type=f32,
+        )
+        + dr1_0
+    )[:, :t]
+
+    return (
+        dx0, dwih, dbg, dwhh, dwff, dbff, dg1, db1, dg2, db2,
+        jnp.swapaxes(dh0b, 0, 1), jnp.swapaxes(dc0b, 0, 1),
+    )
+
+
+mixer_stack_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
