@@ -23,16 +23,51 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+# LSTMwithSample at production size (configs/lstm_with_sampling.yaml):
+# sampler 128 x 2 layers over the FULL 100 Hz audio sequence (the
+# 2-layer stack runs as one wavefront kernel, ops/pallas_lstm_stacked),
+# prediction stack 256 x 2 blocks
+LWS_CFG = dict(
+    nmels=26,
+    delta_order=2,
+    use_centroid=True,
+    use_angle=True,
+    sampler_hidden_size=128,
+    sampler_num_layers=2,
+    sampler_dropout_rate=0.0,
+    sampling_rate=16000,
+    shift=160,
+    fps=25,
+    pred_fps=12.5,
+    hidden_size=256,
+    bottleneck_size=64,
+    num_layers=2,
+    num_lstm=1,
+    dropout_rate=0.0,
+    use_layer_norm=True,
+    use_relu=True,
+    use_mixing=False,
+    use_residual=True,
+    delta_loss_scale=1.0,
+    loss_type="huber",
+    loss_reduction="mean",
+    huber_delta=1.0,
+)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", choices=["auto", "scan", "pallas"],
                     default="auto")
+    ap.add_argument("--model", choices=["metaformer", "lws"],
+                    default="metaformer")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--breakdown", action="store_true",
                     help="also time fwd-only / fwd+bwd / block-0-only "
-                         "components to show where the step goes")
+                         "components to show where the step goes "
+                         "(metaformer only)")
     args = ap.parse_args()
     # resolve_impl consults the env at trace time (nn/recurrent.py:34-50)
     os.environ["MRGEN_RNN_IMPL"] = args.impl
@@ -49,9 +84,12 @@ def main():
     from multimodalreactiongeneration_tpu.train.optim import build_optimizer
     from multimodalreactiongeneration_tpu.utils.config import from_dict
 
-    cfg = dict(bench.BENCH_CFG)
-    cfg.update(loss_type="huber", loss_reduction="mean", huber_delta=1.0,
-               delta_loss_scale=1.0)
+    if args.model == "lws":
+        cfg = dict(LWS_CFG)
+    else:
+        cfg = dict(bench.BENCH_CFG)
+        cfg.update(loss_type="huber", loss_reduction="mean", huber_delta=1.0,
+                   delta_loss_scale=1.0)
     metrics_cfg = dict(use_centroid=True, use_angle=True, delta_order=2)
     optim_cfg = from_dict(dict(
         use_optimizer="adam", momentum=0.9, weight_decay=1e-2, lr=1e-4,
@@ -72,13 +110,23 @@ def main():
     lengths = jnp.full((b,), t, jnp.int32)
     batch = [(x, lengths) for x in data]
 
-    model = Metaformer(cfg=cfg)
+    if args.model == "lws":
+        from multimodalreactiongeneration_tpu.models.lstm_with_sampling import (
+            LSTMwithSample,
+        )
+
+        model = LSTMwithSample(cfg=cfg)
+    else:
+        model = Metaformer(cfg=cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *data[:6])
     optimizer = build_optimizer(optim_cfg)
     opt_state = jax.jit(optimizer.init)(params)
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     train_step, _ = streaming_step_fns(
-        model, cfg, metrics_cfg, optimizer, mask_self_motion_input=True,
+        model, cfg, metrics_cfg, optimizer,
+        # matches train/cli.py: the metaformer masks -100 self-motion
+        # inputs; LSTMwithSample feeds them raw (reference parity)
+        mask_self_motion_input=(args.model == "metaformer"),
         compute_dtype=compute_dtype,
     )
     step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -124,17 +172,19 @@ def main():
     except Exception as exc:  # noqa: BLE001 - backend-dependent API
         print(f"cost_analysis unavailable: {exc}", file=sys.stderr)
 
+    desc = ("256x5 lstm-emb" if args.model == "metaformer"
+            else "lws sampler128x2 + lstm256x2")
     record = {
-        "metric": "metaformer_train_step_ms",
+        "metric": f"{args.model}_train_step_ms",
         "value": round(ms, 2),
-        "unit": f"ms/step (B{b} x T{t}, 256x5 lstm-emb, impl={args.impl}, "
+        "unit": f"ms/step (B{b} x T{t}, {desc}, impl={args.impl}, "
                 f"{args.precision}, fwd+bwd+adam)",
     }
     if mfu_pct is not None:
         record["tflops_per_s"] = round(tflops_per_s, 2)
         record["mfu_pct_v5e_bf16_peak"] = round(mfu_pct, 2)
 
-    if args.breakdown:
+    if args.breakdown and args.model == "metaformer":
         def time_component(fn, params_, batch_):
             """Slope timing with bit-changing input perturbation (the
             tunneled runtime memoizes executions by input content, so
