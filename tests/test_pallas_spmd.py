@@ -145,3 +145,44 @@ def test_stacked_lstm_sharded_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, err_msg=name
         )
+
+
+def test_mixer_stack_sharded_matches_unsharded():
+    """The fused encoder-stack kernel under a batch-sharded mesh:
+    forward and every gradient (incl. the LN/FFN grads reduced by
+    outside einsums that GSPMD must psum) equal the unsharded run."""
+    from multimodalreactiongeneration_tpu.ops import pallas_mixer_stack as pms
+
+    mesh = _mesh()
+    B, T, H, L = 16, 21, 8, 3
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x0 = jax.random.normal(ks[0], (B, T, H)) * 0.5
+    wih = jax.random.normal(ks[1], (L, H, 4 * H)) * 0.2
+    bg = jax.random.normal(ks[2], (L, 4 * H)) * 0.1
+    whh = jax.random.normal(ks[3], (L, H, 4 * H)) * 0.2
+    wff = jax.random.normal(ks[4], (L, H, H)) * 0.2
+    bff = jax.random.normal(ks[5], (L, H)) * 0.1
+    g1 = jnp.ones((L, H)); b1 = jnp.zeros((L, H))
+    g2 = jnp.ones((L, H)); b2 = jnp.zeros((L, H))
+    h0 = jax.random.normal(ks[6], (L, B, H)) * 0.1
+    c0 = jax.random.normal(ks[7], (L, B, H)) * 0.1
+
+    def loss(*a):
+        y, (hn, cn) = pms.mixer_stack_recurrence(*a)
+        return jnp.sum(y**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=tuple(range(12))))
+    args = (x0, wih, bg, whh, wff, bff, g1, b1, g2, b2, h0, c0)
+    ref_val, ref_grads = grad_fn(*args)
+    val, grads = grad_fn(_shard(mesh, x0), *args[1:])
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    names = ("dx0", "dwih", "dbg", "dwhh", "dwff", "dbff",
+             "dg1", "db1", "dg2", "db2", "dh0", "dc0")
+    for a, b, name in zip(grads, ref_grads, names):
+        # rtol: the LN-scale grads are f32 sums over B x S whose
+        # per-device psum reassociation shifts large-magnitude entries
+        # by ~1e-5 relative
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=5e-4,
+            err_msg=name,
+        )
