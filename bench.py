@@ -240,13 +240,43 @@ def parent_main():
         return
     records = []
     attempts = 0
+    timeouts = 0
     # per-sample wall cap: a healthy sample is ~2.5 min warm / ~10 min
     # cold-compile; the tunnel occasionally wedges a process in a
     # never-returning RPC ("TPU worker crashed" without an exception) —
     # kill it and move on rather than hanging the whole bench
     sample_timeout = float(os.environ.get("MRGEN_BENCH_SAMPLE_TIMEOUT", "900"))
-    while len(records) < SAMPLES and attempts < SAMPLES + 2:
+    while len(records) < SAMPLES and attempts < SAMPLES + 4:
         attempts += 1
+        if timeouts:
+            # a wedged tunnel (observed 2026-08-17: even an 8x8 matmul
+            # hangs for hours with no exception) sometimes recovers in
+            # minutes — space retries instead of burning them
+            # back-to-back, and probe with a 2-minute tiny-matmul
+            # liveness check before paying another full sample timeout
+            import time as _time
+
+            _time.sleep(120)
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float((jnp.ones((8,8)) @ jnp.ones((8,8)))"
+                     ".sum()))"],
+                    capture_output=True,
+                    text=True,
+                    timeout=120,
+                )
+                alive = probe.returncode == 0
+            except subprocess.TimeoutExpired:
+                alive = False
+            if not alive:
+                print(
+                    f"bench: tunnel still unresponsive before attempt "
+                    f"{attempts}; waiting",
+                    file=sys.stderr,
+                )
+                continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure"],
@@ -256,6 +286,7 @@ def parent_main():
                 timeout=sample_timeout,
             )
         except subprocess.TimeoutExpired:
+            timeouts += 1
             print(
                 f"bench sample attempt {attempts} timed out after "
                 f"{sample_timeout:.0f}s (wedged tunnel); skipping",

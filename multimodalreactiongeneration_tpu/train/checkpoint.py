@@ -24,7 +24,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _make_pytree_checkpointer():
+def _make_pytree_checkpointer(use_async: bool = False):
     """PyTreeCheckpointer whose process barriers involve ONLY this rank.
 
     Under multi-process jax (jax.distributed), Checkpointer.save opens
@@ -35,26 +35,44 @@ def _make_pytree_checkpointer():
     save and deadlock the whole fit. Scoping active_processes to the
     calling rank makes the save purely local, which is exactly its
     semantics here.
+
+    use_async: saves return immediately and serialize to disk on a
+    background thread (orbax AsyncCheckpointer) so the next epoch's
+    steps overlap the write; TopKCheckpointer keeps at most one save in
+    flight and exposes wait() for the end-of-fit flush.
     """
     if jax.process_count() == 1:
+        if use_async:
+            return ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler(use_ocdbt=True)
+            )
         return ocp.PyTreeCheckpointer()
     me = jax.process_index()
-    return ocp.Checkpointer(
+    mp = ocp.options.MultiprocessingOptions(
+        primary_host=me, active_processes={me}
+    )
+    cls = ocp.AsyncCheckpointer if use_async else ocp.Checkpointer
+    return cls(
         ocp.PyTreeCheckpointHandler(use_ocdbt=True),
-        multiprocessing_options=ocp.options.MultiprocessingOptions(
-            primary_host=me, active_processes={me}
-        ),
+        multiprocessing_options=mp,
     )
 
 
 class TopKCheckpointer:
-    def __init__(self, directory: str, top_k: int = 5, monitor: str = "V"):
+    def __init__(
+        self,
+        directory: str,
+        top_k: int = 5,
+        monitor: str = "V",
+        use_async: bool = False,
+    ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.top_k = top_k
         self.monitor = monitor
+        self.use_async = use_async
         self._saved: List[Tuple[float, str]] = []  # (val_loss, path)
-        self._ckpt = _make_pytree_checkpointer()
+        self._ckpt = _make_pytree_checkpointer(use_async)
         # seed from checkpoints already on disk so a resumed run compares
         # against and prunes the previous run's top-k (like Lightning's
         # ModelCheckpoint best_k_models restore)
@@ -74,18 +92,31 @@ class TopKCheckpointer:
             shutil.rmtree(stale, ignore_errors=True)
         del self._saved[self.top_k:]
 
+    def wait(self):
+        """Block until any in-flight async save is on disk (no-op sync)."""
+        if self.use_async:
+            self._ckpt.wait_until_finished()
+
     def _save(self, path: str, params, opt_state, epoch: int):
+        # at most ONE async save in flight: the previous epoch's write
+        # overlaps this epoch's compute, and pruning below never races
+        # an unfinished serialization
+        self.wait()
         if os.path.exists(path):
             shutil.rmtree(path)
+        # OWNED host copies, not views: np.asarray of a CPU jax array is
+        # zero-copy, and with async saves the donated device buffer is
+        # deleted by the next train step while the writer still reads it
+        copy = lambda x: np.array(x)
         payload = {
-            "params": jax.tree_util.tree_map(np.asarray, params),
+            "params": jax.tree_util.tree_map(copy, params),
             "epoch": epoch,
         }
         if opt_state is not None:
             # store the optimizer state's array leaves flattened; the tree
             # structure is rebuilt from optimizer.init(params) on restore
             leaves = jax.tree_util.tree_leaves(opt_state)
-            payload["opt_leaves"] = [np.asarray(x) for x in leaves]
+            payload["opt_leaves"] = [copy(x) for x in leaves]
         self._ckpt.save(path, payload)
 
     def maybe_save(self, params, opt_state, epoch: int, val_loss: float):

@@ -414,18 +414,25 @@ class Trainer:
         result = FitResult(ckpt_dir=self.ckpt_dir)
         # reference monitors: V{epoch}-{val_loss} for every trainer; the
         # streaming trainers additionally keep top-k on G{epoch}-{genrt}
-        # and T{epoch}-{train_loss} (lstmformer/trainer.py:33-57)
+        # and T{epoch}-{train_loss} (lstmformer/trainer.py:33-57).
+        # async_checkpoint=true serializes saves on a background thread
+        # so the next epoch's steps overlap the disk write (one save in
+        # flight per monitor; flushed before fit returns)
+        use_async = self.callbacks.get("async_checkpoint", False)
         savers = {}
         if use_ckpt:
             savers["V"] = ckpt_lib.TopKCheckpointer(
-                self.ckpt_dir, top_k=top_k, monitor="V"
+                self.ckpt_dir, top_k=top_k, monitor="V",
+                use_async=use_async,
             )
             if self.generation_eval is not None:
                 savers["T"] = ckpt_lib.TopKCheckpointer(
-                    self.ckpt_dir, top_k=top_k, monitor="T"
+                    self.ckpt_dir, top_k=top_k, monitor="T",
+                    use_async=use_async,
                 )
                 savers["G"] = ckpt_lib.TopKCheckpointer(
-                    self.ckpt_dir, top_k=top_k, monitor="G"
+                    self.ckpt_dir, top_k=top_k, monitor="G",
+                    use_async=use_async,
                 )
         saver = savers.get("V")
         rng = jax.random.PRNGKey(self.seed)
@@ -504,6 +511,8 @@ class Trainer:
                     break
         if saver is not None:
             saver.save_last(params, opt_state, result.epochs_run - 1)
+        for s in savers.values():
+            s.wait()  # flush async saves before anyone reads ckpt_dir
         # multi-host: no collective runs after the last eval step, so
         # non-zero ranks would return (and possibly read ckpt_dir for the
         # best/last checkpoint) while rank 0 is still writing it — hold

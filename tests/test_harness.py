@@ -392,3 +392,65 @@ def test_windowed_loss_masks_stage_filler_rows():
     masked, _ = simple_lstm_loss(y2, t2, motion2, cfg, mcfg, row_mask=mask)
     # filler contributes 0 to the numerator; denominator grows 2 -> 3
     np.testing.assert_allclose(float(masked), float(base) * 2 / 3, rtol=1e-5)
+
+
+def test_async_checkpointing_matches_sync(loaders, tmp_path):
+    """async_checkpoint=true overlaps saves with the next epoch; the
+    on-disk result (top-k pruning, last, restorable payloads) must be
+    indistinguishable from the synchronous saver."""
+    import os
+
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        load_checkpoint,
+    )
+
+    train_loader, _, ds = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    optimizer = build_optimizer(OPTIM)
+    train_step, eval_step = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer,
+        mask_self_motion_input=False,
+    )
+    n = len(ds)
+    tr, va, _ = random_split_indices(n, 0.5, 0.25, seed=0)
+
+    def run(async_flag, sub):
+        # fresh same-seed params AND loaders per run: the train step
+        # DONATES params, and BatchLoader shuffle state advances per
+        # epoch — both must restart for bit-identical fits
+        params0 = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+        trainer = Trainer(
+            model, train_step, eval_step, optimizer, OPTIM,
+            callbacks_cfg=dict(save_top_k=1, use_checkpoint=True,
+                               use_early_stopping=False, patience_epoch=10,
+                               async_checkpoint=async_flag),
+            log_dir=str(tmp_path / f"log{sub}"),
+            ckpt_dir=str(tmp_path / f"ckpt{sub}"),
+        )
+        _, result = trainer.fit(
+            params0,
+            BatchLoader(ds, tr, batch_size=2, seed=0),
+            BatchLoader(ds, va, batch_size=2, seed=0),
+            max_epochs=3,
+        )
+        return sorted(os.listdir(tmp_path / f"ckpt{sub}")), result
+
+    entries_sync, res_sync = run(False, "s")
+    entries_async, res_async = run(True, "a")
+    # same dirs (deterministic same-seed fits -> same V names) and the
+    # async fit's losses match the sync fit bit-for-bit
+    assert entries_async == entries_sync
+    for ha, hs in zip(res_async.history, res_sync.history):
+        assert ha["val_loss"] == hs["val_loss"]
+    # payload written by the async saver restores and matches the
+    # sync-saved one
+    pa = load_checkpoint(str(tmp_path / "ckpta" / "last"))
+    ps = load_checkpoint(str(tmp_path / "ckpts" / "last"))
+    la = jax.tree_util.tree_leaves(pa["params"])
+    ls = jax.tree_util.tree_leaves(ps["params"])
+    assert len(la) == len(ls)
+    for a, b in zip(la, ls):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert pa["epoch"] == ps["epoch"] == 2
