@@ -12,6 +12,14 @@ whole decode loop compiles to one lax.scan.
 A cache is a plain pytree dict:
   {"k": (B, C, Dk), "v": (B, C, Dv), "length": int32 scalar}
 ``length`` counts total tokens ever appended (not clamped to C).
+
+dtype=int8 stores QUANTIZED K/V with per-slot symmetric scales
+("k_scale"/"v_scale", (B, C) f32): the resident ring buffers — the VMEM
+working set carried across every decode step, the documented ceiling of
+batch scaling — shrink another 2x below bf16. Incoming chunks are
+quantized on write (amax/127 per token vector) and consumers receive
+bf16 dequantized views, so the attention math is unchanged; error is
+~0.4% per element (tests bound the end-to-end decode drift).
 """
 
 from __future__ import annotations
@@ -22,6 +30,8 @@ import jax.numpy as jnp
 
 KVCache = Dict[str, jnp.ndarray]
 
+_SCALE_EPS = 1e-8  # zero vectors quantize to scale eps, not div-by-zero
+
 
 def cache_init(
     batch: int,
@@ -31,11 +41,25 @@ def cache_init(
     dtype=jnp.float32,
 ) -> KVCache:
     vdim = kdim if vdim is None else vdim
-    return {
+    cache = {
         "k": jnp.zeros((batch, capacity, kdim), dtype),
         "v": jnp.zeros((batch, capacity, vdim), dtype),
         "length": jnp.zeros((), jnp.int32),
     }
+    if dtype == jnp.int8:
+        cache["k_scale"] = jnp.zeros((batch, capacity), jnp.float32)
+        cache["v_scale"] = jnp.zeros((batch, capacity), jnp.float32)
+    return cache
+
+
+def _quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-token int8: (B, n, D) -> ((B, n, D) int8, (B, n) f32)."""
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1) / 127.0, _SCALE_EPS
+    )
+    q = jnp.round(x / scale[..., None]).astype(jnp.int8)
+    return q, scale
 
 
 def cache_extend(
@@ -75,8 +99,26 @@ def cache_extend(
         )
     length = cache["length"]
     pos = (length + jnp.arange(n, dtype=jnp.int32)) % capacity
-    new_k = cache["k"].at[:, pos].set(key.astype(cache["k"].dtype))
-    new_v = cache["v"].at[:, pos].set(value.astype(cache["v"].dtype))
+    quantized = cache["k"].dtype == jnp.int8
+    if quantized:
+        qk, sk = _quantize(key)
+        qv, sv = _quantize(value)
+        new_k = cache["k"].at[:, pos].set(qk)
+        new_v = cache["v"].at[:, pos].set(qv)
+        new_ks = cache["k_scale"].at[:, pos].set(sk)
+        new_vs = cache["v_scale"].at[:, pos].set(sv)
+        # consumers get bf16 dequantized views; only the int8 buffers
+        # and scales persist across steps in the scan carry
+        k_out = new_k.astype(jnp.bfloat16) * new_ks[..., None].astype(
+            jnp.bfloat16
+        )
+        v_out = new_v.astype(jnp.bfloat16) * new_vs[..., None].astype(
+            jnp.bfloat16
+        )
+    else:
+        new_k = cache["k"].at[:, pos].set(key.astype(cache["k"].dtype))
+        new_v = cache["v"].at[:, pos].set(value.astype(cache["v"].dtype))
+        k_out, v_out = new_k, new_v
     new_len = length + n
     valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(new_len, capacity)
     if chunk_mask is None:
@@ -87,4 +129,7 @@ def cache_extend(
         )
         mask = base.at[..., pos].set(chunk_mask)
     new_cache = {"k": new_k, "v": new_v, "length": new_len}
-    return new_cache, new_k, new_v, mask
+    if quantized:
+        new_cache["k_scale"] = new_ks
+        new_cache["v_scale"] = new_vs
+    return new_cache, k_out, v_out, mask

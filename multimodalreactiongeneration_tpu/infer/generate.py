@@ -217,7 +217,12 @@ def generate_metaformer(
       batch 8:  f32 36.8k  vs bf16 38.3k frames/s/chip
       batch 16: f32 16.5k (the KV working set falls off the VMEM cliff)
                 vs bf16 41-43k  <- the headline bench point
-    Attention accumulates in f32 either way. Train-time rollouts
+    cache_dtype=int8 halves the resident ring buffers AGAIN (quantized
+    K/V + per-slot scales, infer/cache.py; ~2^-7 relative K/V error,
+    end-to-end drift bounded in tests/test_generate.py) — the
+    serving-density option when batch x budgets outgrow bf16's VMEM
+    sweet spot. Attention accumulates in f32 either way. Train-time
+    rollouts
     (scheduled sampling, generation_eval) pin cache_dtype=float32 to
     keep training numerics bit-matched to the f32 reference.
 

@@ -93,3 +93,55 @@ def test_prime_chunk_mask_scatter():
     assert not mask[0, 2, 4]
     # never-written slots masked for every query
     assert mask[0, :, 5:].all()
+
+
+@pytest.mark.parametrize("capacity", [7, 16])
+def test_int8_ring_buffer_tracks_f32(capacity):
+    """dtype=int8 stores quantized K/V + per-slot scales; the dequantized
+    views must track the f32 buffer within symmetric-int8 error (~0.4%
+    per element) through arbitrary extend/rotation sequences, with
+    identical masks and ring semantics."""
+    rng = np.random.default_rng(1)
+    batch, dim = 2, 8
+    c8 = cache_init(batch, capacity, dim, dtype=jnp.int8)
+    c32 = cache_init(batch, capacity, dim)
+    assert c8["k"].dtype == jnp.int8 and "k_scale" in c8
+
+    for n in [3, 1, 5, 2, 7, 1, 4, 6]:
+        k = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+        c8, k8, v8, m8 = cache_extend(c8, k, v)
+        c32, k32, v32, m32 = cache_extend(c32, k, v)
+        np.testing.assert_array_equal(np.asarray(m8), np.asarray(m32))
+        assert k8.dtype == jnp.bfloat16  # dequantized view
+        # written slots track f32 within int8 + bf16 rounding; compare
+        # only valid slots (unwritten are zeros in both)
+        scale = np.max(np.abs(np.asarray(k32)), axis=-1, keepdims=True)
+        np.testing.assert_allclose(
+            np.asarray(k8, np.float32), np.asarray(k32),
+            atol=1e-6 + float(scale.max()) * 0.012,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v8, np.float32), np.asarray(v32),
+            atol=1e-6 + float(np.abs(np.asarray(v32)).max()) * 0.012,
+        )
+
+    # attention over the int8 view stays close to the f32 attention
+    q = jnp.asarray(rng.normal(size=(batch, 1, dim)), jnp.float32)
+    got = _attend(q, k8.astype(jnp.float32), v8.astype(jnp.float32),
+                  jnp.broadcast_to(m8, (batch,) + m8.shape[-1:]))
+    want = _attend(q, k32, v32,
+                   jnp.broadcast_to(m32, (batch,) + m32.shape[-1:]))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.03
+    )
+
+
+def test_int8_zero_vectors_are_exact():
+    # all-zero tokens must quantize to exactly zero (scale eps, no NaN)
+    cache = cache_init(1, 4, 8, dtype=jnp.int8)
+    cache, k, v, _ = cache_extend(
+        cache, jnp.zeros((1, 2, 8)), jnp.zeros((1, 2, 8))
+    )
+    assert np.isfinite(np.asarray(k, np.float32)).all()
+    np.testing.assert_array_equal(np.asarray(k, np.float32)[:, :2], 0.0)

@@ -118,6 +118,19 @@ def test_metaformer_teacher_decode_matches_shifted_forward():
     np.testing.assert_allclose(
         np.asarray(pred_bf16), np.asarray(y_full), atol=5e-2
     )
+    # int8 KV (the serving-density option): per-token symmetric scales,
+    # ~2^-7 relative K/V error — end-to-end drift bound slightly looser
+    pred_int8 = generate_metaformer(
+        model, params, batch, sampling_mask_for(6, "teacher"),
+        cache_dtype=jnp.int8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_int8), np.asarray(y_full), atol=1e-1
+    )
+    # and it must beat doing nothing: int8 stays close to bf16's output
+    np.testing.assert_allclose(
+        np.asarray(pred_int8), np.asarray(pred_bf16), atol=1e-1
+    )
 
 
 def test_metaformer_full_generation_runs_jitted():
