@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 FRAME_BUDGET_MS = 80.0  # one 12.5 fps frame interval
 
 
-def run(slots: int, steps: int) -> dict:
+def run(slots: int, steps: int, kv="bf16") -> dict:
     import jax
 
     import bench
@@ -41,7 +41,11 @@ def run(slots: int, steps: int) -> dict:
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *init_in)
 
-    engine = ServingEngine(model, params, slots=slots)
+    import jax.numpy as jnp
+
+    cache_dtype = jnp.int8 if kv == "int8" else jnp.bfloat16
+    engine = ServingEngine(model, params, slots=slots,
+                           cache_dtype=cache_dtype)
     rng = np.random.default_rng(0)
     lead = (
         rng.normal(size=(1, 12 * 8, 81)).astype(np.float32),
@@ -72,7 +76,8 @@ def run(slots: int, steps: int) -> dict:
         "unit": (
             f"ms/frame for {slots} concurrent sessions "
             f"(p95 {np.percentile(times, 95):.1f} ms, budget "
-            f"{FRAME_BUDGET_MS:.0f} ms @ 12.5 fps, metaformer-256x5)"
+            f"{FRAME_BUDGET_MS:.0f} ms @ 12.5 fps, metaformer-256x5, "
+            f"{kv} KV)"
         ),
         "sustains_12_5_fps": bool(
             np.percentile(times, 95) < FRAME_BUDGET_MS
@@ -83,12 +88,14 @@ def run(slots: int, steps: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
+                    help="KV ring-buffer dtype (int8 halves pooled VMEM)")
     ap.add_argument("--steps", type=int, default=50)
     args = ap.parse_args()
     if args.steps < 10:
         ap.error("--steps must be >= 10 (the first 5 are dropped as warm-in)")
     for s in args.slots:
-        print(json.dumps(run(s, args.steps)))
+        print(json.dumps(run(s, args.steps, kv=args.kv)))
 
 
 if __name__ == "__main__":

@@ -54,7 +54,8 @@ class ServingEngine:
     slots: compiled batch capacity (sessions served concurrently).
     """
 
-    def __init__(self, model, params, slots: int = 8, mesh=None):
+    def __init__(self, model, params, slots: int = 8, mesh=None,
+                 cache_dtype=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. The slot
         pool (states, prev frames, per-step inputs) is sharded over it
         and params replicated, so one engine serves slots across every
@@ -67,6 +68,14 @@ class ServingEngine:
         self.cfg = model.cfg
         self.slots = slots
         self.mesh = mesh
+        # KV ring-buffer dtype for every slot's caches: bf16 default
+        # (generate_metaformer's inference default); int8 halves the
+        # pooled VMEM again for higher slot counts (infer/cache.py)
+        import jax.numpy as _jnp
+
+        self.cache_dtype = (
+            _jnp.bfloat16 if cache_dtype is None else cache_dtype
+        )
         self._slot_sharding = None
         if mesh is not None:
             from multimodalreactiongeneration_tpu.parallel.mesh import (
@@ -156,7 +165,7 @@ class ServingEngine:
                 return st
 
             self._prime = jax.jit(prime)
-        st = _init_metaformer_states(self.cfg, 1)
+        st = _init_metaformer_states(self.cfg, 1, self.cache_dtype)
         return self._prime(
             self.params,
             jnp.asarray(lead_audio, jnp.float32),

@@ -231,3 +231,22 @@ def test_serving_mha_embeddings():
     out = _drive(engine, slot, audio, mp)
     assert out.shape == (3, 1, 18)
     assert np.isfinite(out).all()
+
+
+def test_int8_kv_engine_tracks_bf16():
+    """cache_dtype=int8 pools quantized ring buffers + per-slot scale
+    leaves through the vmap lift; outputs must stay finite and close to
+    the bf16 engine driven identically."""
+    model, params = _model_and_params()
+    rng = np.random.default_rng(5)
+    lead = _lead(rng)
+    steps = 4
+    audio, mp = _session_inputs(np.random.default_rng(6), steps)
+
+    eng16 = ServingEngine(model, params, slots=2)
+    eng8 = ServingEngine(model, params, slots=2, cache_dtype=jnp.int8)
+    assert eng16.attach(*lead) == eng8.attach(*lead)
+    out16 = _drive(eng16, 0, audio, mp)
+    out8 = _drive(eng8, 0, audio, mp)
+    assert np.isfinite(out8).all()
+    np.testing.assert_allclose(out8, out16, atol=1e-1)
