@@ -298,6 +298,7 @@ def parent_main():
         if proc.returncode == 0 and line.startswith("{"):
             rec = json.loads(line)
             records.append(rec)
+            timeouts = 0  # recovered: back-to-back sampling again
             print(
                 f"bench sample {len(records)}/{SAMPLES}: {rec['value']}",
                 file=sys.stderr,

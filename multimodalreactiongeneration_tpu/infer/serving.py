@@ -71,10 +71,8 @@ class ServingEngine:
         # KV ring-buffer dtype for every slot's caches: bf16 default
         # (generate_metaformer's inference default); int8 halves the
         # pooled VMEM again for higher slot counts (infer/cache.py)
-        import jax.numpy as _jnp
-
         self.cache_dtype = (
-            _jnp.bfloat16 if cache_dtype is None else cache_dtype
+            jnp.bfloat16 if cache_dtype is None else cache_dtype
         )
         self._slot_sharding = None
         if mesh is not None:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK_T = 16
+PAD_T = 16  # batch-independent time-pad quantum (see pallas_lstm.py)
 
 # raise the kernel's scoped-VMEM cap above the 16 MB compiler
 # default: chunk buffers scale with batch x chunk and B>=64 at
@@ -172,7 +172,7 @@ from multimodalreactiongeneration_tpu.ops.partitioning import (
 
 def _fwd_common(xw, w_hh_t, b_hh, h0, save_hh):
     tc = _chunk_t(xw.shape[0])
-    xw_p, t_real = _pad_time(xw, tc)
+    xw_p, t_real = _pad_time(xw, PAD_T)  # batch-independent pad; tc | PAD_T
     b, t_pad, g3 = xw_p.shape
     h = g3 // 3
     nt = t_pad // tc
@@ -225,10 +225,10 @@ def _fwd_impl_savehh(xw, w_hh_t, b_hh, h0):
 
 
 def _bwd_impl(xw, w_hh_t, h0, ys, hh_all, dys, dhn):
-    tc = _chunk_t(xw.shape[0])  # matches the vjp-fwd's choice (same B)
-    xw_p, t_real = _pad_time(xw, tc)
-    ys_p, _ = _pad_time(ys, tc)
-    dys_p, _ = _pad_time(dys, tc)
+    tc = _chunk_t(xw.shape[0])  # local blocking; shapes use PAD_T
+    xw_p, t_real = _pad_time(xw, PAD_T)
+    ys_p, _ = _pad_time(ys, PAD_T)
+    dys_p, _ = _pad_time(dys, PAD_T)
     b, t_pad, g3 = xw_p.shape
     h = g3 // 3
     nt = t_pad // tc

@@ -48,7 +48,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK_T = 16  # the B<=32 chunk; larger batches shrink it (chunk_t)
+PAD_T = 16  # time-pad quantum: the MAX chunk, so padded shapes are
+# batch-independent — chunk_t(b) only picks the BLOCKING. Under
+# custom_partitioning the abstract eval sees the global batch and the
+# lowering the local shard; any output shape keyed on chunk_t(batch)
+# would disagree between the two (multi-chip compile failure).
 
 # raise the kernel's scoped-VMEM cap above the 16 MB compiler
 # default: chunk buffers scale with batch x chunk and B>=64 at
@@ -216,7 +220,7 @@ def _fwd_common(xw, w_hh_t, h0, c0, save_gates):
     save_gates=True (vjp-fwd path) additionally writes the gate
     pre-activation trajectory (B, T_pad, 4H) for the backward."""
     tc = _chunk_t(xw.shape[0])
-    xw_p, t_real = _pad_time(xw, tc)
+    xw_p, t_real = _pad_time(xw, PAD_T)  # batch-independent pad; tc | PAD_T
     b, t_pad, g4 = xw_p.shape
     h = g4 // 4
     nt = t_pad // tc
@@ -273,10 +277,10 @@ def _fwd_impl_savegates(xw, w_hh_t, h0, c0):
 
 
 def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
-    tc = _chunk_t(ys.shape[0])  # matches the vjp-fwd's choice (same B)
-    ys_p, t_real = _pad_time(ys, tc)
-    cs_p, _ = _pad_time(cs, tc)
-    dys_p, _ = _pad_time(dys, tc)
+    tc = _chunk_t(ys.shape[0])  # local blocking; shapes use PAD_T
+    ys_p, t_real = _pad_time(ys, PAD_T)
+    cs_p, _ = _pad_time(cs, PAD_T)
+    dys_p, _ = _pad_time(dys, PAD_T)
     b, t_pad, g4 = gates_all.shape  # gates come in PADDED from vjp-fwd
     h = g4 // 4
     nt = t_pad // tc

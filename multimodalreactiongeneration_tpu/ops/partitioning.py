@@ -117,7 +117,12 @@ def chunk_t(batch: int) -> int:
     H256 was an observed compile OOM against the 16 MB scoped-VMEM
     compiler default (the kernels now also raise that cap to 64 MB via
     CompilerParams). 8 is the hardware floor — Mosaic requires the
-    second-minor block dim divisible by 8."""
+    second-minor block dim divisible by 8.
+
+    IMPORTANT: callers pad time with the batch-INDEPENDENT PAD_T = 16
+    (every chunk divides it); keying padded OUTPUT shapes on this
+    function would break custom_partitioning, whose abstract eval sees
+    the global batch while the lowering sees the local shard."""
     return 16 if batch <= 32 else 8
 
 

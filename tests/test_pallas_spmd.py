@@ -186,3 +186,36 @@ def test_mixer_stack_sharded_matches_unsharded():
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=5e-4,
             err_msg=name,
         )
+
+
+def test_lstm_sharded_large_batch_adaptive_chunk():
+    """B=64 on the 8-device mesh: the GLOBAL batch picks chunk 8 while
+    each local shard (b=8) blocks at 16 — output shapes must not depend
+    on either (PAD_T-padded), or custom_partitioning's abstract eval and
+    per-shard lowering disagree and compilation fails. T=21 makes
+    pad-to-8 != pad-to-16. Regression for a real multi-chip defect."""
+    from multimodalreactiongeneration_tpu.ops.partitioning import chunk_t
+
+    mesh = _mesh()
+    B, T, H = 64, 21, 8
+    assert chunk_t(B) != chunk_t(B // 8)  # the mismatched regime
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    xw = jax.random.normal(ks[0], (B, T, 4 * H)) * 0.5
+    w = jax.random.normal(ks[1], (H, 4 * H)) * 0.2
+    h0 = jax.random.normal(ks[2], (B, H)) * 0.1
+    c0 = jax.random.normal(ks[3], (B, H)) * 0.1
+
+    def loss(xw, w, h0, c0):
+        ys, (hn, cn) = pallas_lstm.lstm_recurrence(xw, w, h0, c0)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+    ref_val, ref_grads = grad_fn(xw, w, h0, c0)
+    val, grads = grad_fn(
+        _shard(mesh, xw), w, _shard(mesh, h0), _shard(mesh, c0)
+    )
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    for a, b, name in zip(grads, ref_grads, ("dxw", "dw", "dh0", "dc0")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=name
+        )
