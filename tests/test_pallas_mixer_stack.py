@@ -181,3 +181,27 @@ def test_layerd_fused_path_matches_unfused(monkeypatch):
     for (pr, vr), (pf, vf) in zip(ref_flat, fus_flat):
         assert jax.tree_util.keystr(pr) == jax.tree_util.keystr(pf)
         np.testing.assert_array_equal(np.asarray(vr), np.asarray(vf))
+
+
+def test_layerd_fused_path_bf16_params(monkeypatch):
+    """bf16 params (the mixed-precision train cast) through the fused
+    path: weights select bf16 matmuls, f32 state — outputs must track
+    the unfused bf16 path within bf16 tolerance and keep x's dtype."""
+    from multimodalreactiongeneration_tpu.train.harness import _cast_tree
+
+    b, h, L, t = 2, 16, 3, 20
+    mod = _module(L, h)
+    x = jax.random.normal(jax.random.PRNGKey(12), (b, t, h))
+    params = mod.init(jax.random.PRNGKey(13), x)
+    p16 = _cast_tree(params, jnp.bfloat16)
+    x16 = x.astype(jnp.bfloat16)
+
+    y_ref, _ = mod.apply(p16, x16)  # unfused (scan) bf16
+    monkeypatch.setenv("MRGEN_RNN_IMPL", "pallas")
+    monkeypatch.setenv("MRGEN_FUSED_ENCODER", "1")
+    y_f, _ = mod.apply(p16, x16)
+    assert y_f.dtype == x16.dtype
+    np.testing.assert_allclose(
+        np.asarray(y_f, np.float32), np.asarray(y_ref, np.float32),
+        atol=0.15,  # bf16 scan carries vs f32-state kernel: both ~2^-8
+    )
