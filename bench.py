@@ -245,7 +245,12 @@ def parent_main():
     # cold-compile; the tunnel occasionally wedges a process in a
     # never-returning RPC ("TPU worker crashed" without an exception) —
     # kill it and move on rather than hanging the whole bench
-    sample_timeout = float(os.environ.get("MRGEN_BENCH_SAMPLE_TIMEOUT", "900"))
+    # 1500 s: a healthy sample is ~2.5 min warm but ~10-13 min when the
+    # persistent compile cache was invalidated by a code change — the
+    # cap must not kill a legitimate cold compile
+    sample_timeout = float(
+        os.environ.get("MRGEN_BENCH_SAMPLE_TIMEOUT", "1500")
+    )
     while len(records) < SAMPLES and attempts < SAMPLES + 4:
         attempts += 1
         if timeouts:
