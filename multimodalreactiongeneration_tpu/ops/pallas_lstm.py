@@ -9,7 +9,7 @@ the precomputed input projections (x @ W_ih + biases) stream from HBM in
 time chunks (Pallas double-buffers grid inputs automatically), and every
 step is a single MXU matmul plus fused VPU gate math.
 
-Grid = (T / CHUNK_T,), sequential on one core — scratch persistence and
+Grid = (T_pad / chunk,), sequential on one core — scratch persistence and
 reverse-order backward streaming are the supported TPU patterns.
 
 The backward is split by data dependence: the vjp-forward saves the
@@ -346,8 +346,8 @@ _fwd_sharded = shard_batch_dim(
 _fwd_sharded_savegates = shard_batch_dim(
     _fwd_impl_savegates, batch_args=(0, 2, 3),
     out_is_batched=(True, True, True, True, True),
-    # 's' not 't' for the gates output: it stays CHUNK_T-padded, so its
-    # time size differs from t whenever T % CHUNK_T != 0
+    # 's' not 't' for the gates output: it stays PAD_T-padded, so its
+    # time size differs from t whenever T % PAD_T != 0
     sharding_rule="b t g, h g, b h, b h -> b t h, b t h, b h, b h, b s g",
 )
 _bwd_sharded = shard_batch_dim(
