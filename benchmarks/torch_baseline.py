@@ -302,6 +302,57 @@ def run_metaformer(args):
     return best, f"metaformer-{args.hidden}x{args.blocks}"
 
 
+def run_metaformer_train(args):
+    """Full reference TRAIN step (fwd + huber loss + bwd + AdamW) at the
+    train_bench workload (B x T full-sequence forward, lstmformer.py
+    training_step semantics with no padding), timed per step."""
+    import torch
+
+    model = build_reference_metaformer(
+        hidden=args.hidden, num_block=args.blocks, heads=4, bottleneck=64,
+        num_layerd=1, encoder_num_layer=args.blocks, num_internal_layer=1,
+        max_context_len_s=10,
+    )
+    model.train()
+    from mr_gen.model.utils.multi_modal_metaformer import gen_attention_mask
+
+    torch.manual_seed(0)
+    RATIO, PADDING_VALUE = 8, 1e9
+    B, T = args.batch, args.frames
+    fbank = torch.randn(B, T * RATIO, 81)
+    motion_p = torch.randn(B, T, 18)
+    motion_s = torch.randn(B, T, 18)
+    target = torch.randn(B, T, 18)
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=1e-2)
+
+    mm = gen_attention_mask(motion_s, motion_p, 4, PADDING_VALUE).view(
+        -1, T, T
+    )
+    ma = gen_attention_mask(motion_s, fbank, 4, PADDING_VALUE).view(
+        -1, T, fbank.shape[1]
+    )
+    others = (None, None, None)
+
+    def step():
+        opt.zero_grad()
+        y, _, _ = model(
+            motion_s, [fbank, motion_p], None, others,
+            [others, others], [ma, mm],
+        )
+        loss = torch.nn.functional.huber_loss(y, target)
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    step()  # warm caches/allocator
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        step()
+        best = min(best, time.perf_counter() - t0)
+    return best, f"metaformer-{args.hidden}x{args.blocks}"
+
+
 def run_lws(args):
     import torch
 
@@ -415,10 +466,27 @@ def main():
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--train", action="store_true",
+                    help="time the reference TRAIN step (fwd+bwd+AdamW, "
+                         "metaformer only) instead of AR decode")
     args = ap.parse_args()
 
     import torch
 
+    if args.train:
+        if args.model != "metaformer":
+            ap.error("--train supports the metaformer only")
+        best, name = run_metaformer_train(args)
+        print(json.dumps({
+            "metric": "reference_cpu_torch_train_step_seconds",
+            "value": round(best, 3),
+            "unit": f"s/step (B{args.batch} x T{args.frames}, {name}, "
+                    "fwd+bwd+AdamW, reference code on CPU)",
+            "torch": torch.__version__,
+            "cpus": os.cpu_count(),
+            "threads": torch.get_num_threads(),
+        }))
+        return
     runner = {
         "metaformer": run_metaformer,
         "lws": run_lws,
