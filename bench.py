@@ -84,16 +84,19 @@ RATIO = 8
 SAMPLES = int(os.environ.get("MRGEN_BENCH_SAMPLES", "3"))
 
 
-def make_batch(key):
+def make_batch(key, batch=None, frames=None, lead=None):
+    b = BATCH if batch is None else batch
+    t = FRAMES if frames is None else frames
+    ld = LEAD if lead is None else lead
     ks = jax.random.split(key, 7)
     return (
-        jax.random.normal(ks[0], (BATCH, FRAMES * RATIO, 81)),
-        jax.random.normal(ks[1], (BATCH, FRAMES, 18)),
-        jax.random.normal(ks[2], (BATCH, FRAMES, 18)),
-        jax.random.normal(ks[3], (BATCH, LEAD * RATIO, 81)),
-        jax.random.normal(ks[4], (BATCH, LEAD, 18)),
-        jax.random.normal(ks[5], (BATCH, LEAD, 18)),
-        jax.random.normal(ks[6], (BATCH, FRAMES, 18)),
+        jax.random.normal(ks[0], (b, t * RATIO, 81)),
+        jax.random.normal(ks[1], (b, t, 18)),
+        jax.random.normal(ks[2], (b, t, 18)),
+        jax.random.normal(ks[3], (b, ld * RATIO, 81)),
+        jax.random.normal(ks[4], (b, ld, 18)),
+        jax.random.normal(ks[5], (b, ld, 18)),
+        jax.random.normal(ks[6], (b, t, 18)),
     )
 
 
@@ -222,6 +225,26 @@ def child_main():
         )
 
 
+def _tunnel_alive(timeout: float = 120.0) -> bool:
+    """Tiny-matmul liveness probe in a fresh process (a wedged runtime
+    blocks forever with no exception, so the probe must be killable)."""
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def parent_main():
     """Median over SAMPLES fresh-process measurements.
 
@@ -259,23 +282,8 @@ def parent_main():
             # minutes — space retries instead of burning them
             # back-to-back, and probe with a 2-minute tiny-matmul
             # liveness check before paying another full sample timeout
-            import time as _time
-
-            _time.sleep(120)
-            try:
-                probe = subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, jax.numpy as jnp;"
-                     "print(float((jnp.ones((8,8)) @ jnp.ones((8,8)))"
-                     ".sum()))"],
-                    capture_output=True,
-                    text=True,
-                    timeout=120,
-                )
-                alive = probe.returncode == 0
-            except subprocess.TimeoutExpired:
-                alive = False
-            if not alive:
+            time.sleep(120)
+            if not _tunnel_alive():
                 print(
                     f"bench: tunnel still unresponsive before attempt "
                     f"{attempts}; waiting",

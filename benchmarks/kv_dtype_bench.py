@@ -40,18 +40,11 @@ def main():
 
     dt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}
     model = Metaformer(cfg=bench.BENCH_CFG)
-    frames, lead, ratio = args.frames, bench.LEAD, bench.RATIO
+    frames = args.frames
 
     for b in args.batches:
-        ks = jax.random.split(jax.random.PRNGKey(0), 7)
-        batch = (
-            jax.random.normal(ks[0], (b, frames * ratio, 81)),
-            jax.random.normal(ks[1], (b, frames, 18)),
-            jax.random.normal(ks[2], (b, frames, 18)),
-            jax.random.normal(ks[3], (b, lead * ratio, 81)),
-            jax.random.normal(ks[4], (b, lead, 18)),
-            jax.random.normal(ks[5], (b, lead, 18)),
-            jax.random.normal(ks[6], (b, frames, 18)),
+        batch = bench.make_batch(
+            jax.random.PRNGKey(0), batch=b, frames=frames
         )
         params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
         mask = sampling_mask_for(frames, "full")

@@ -331,18 +331,14 @@ def _bwd_kernel(
             dc0_ref[:, l] = dc_scr[l]
 
 
+from multimodalreactiongeneration_tpu.ops.partitioning import (  # noqa: E402
+    pad_axis as _pad_slots,
+    slot_pad_len,
+)
+
+
 def _slot_pad_len(t: int, num_layers: int) -> int:
-    s = t + (num_layers - 1) * CHUNK_S
-    return s + (-s) % CHUNK_S
-
-
-def _pad_slots(x, axis, s_pad):
-    pad = s_pad - x.shape[axis]
-    if pad:
-        cfg = [(0, 0)] * x.ndim
-        cfg[axis] = (0, pad)
-        x = jnp.pad(x, cfg)
-    return x
+    return slot_pad_len(t, num_layers, CHUNK_S, lag=CHUNK_S)
 
 
 def _make_fwd(t_real: int):

@@ -126,6 +126,27 @@ def chunk_t(batch: int) -> int:
     return 16 if batch <= 32 else 8
 
 
+def pad_axis(x, axis: int, size: int):
+    """Zero-pad ``axis`` up to ``size`` (shared by the wavefront
+    kernels' slot-space layouts)."""
+    import jax.numpy as jnp
+
+    pad = size - x.shape[axis]
+    if pad:
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        x = jnp.pad(x, cfg)
+    return x
+
+
+def slot_pad_len(t: int, num_layers: int, chunk: int, lag: int = 1) -> int:
+    """Padded slot-space length for a wavefront: layer l's time t sits
+    at slot t + l*lag; total slots = t + (L-1)*lag rounded up to the
+    chunk."""
+    s = t + (num_layers - 1) * lag
+    return s + (-s) % chunk
+
+
 def pad_time(x, tc):
     """Pad axis 1 up to a multiple of tc (the kernels' time chunk).
 
