@@ -69,11 +69,14 @@ def test_overflow_chunk_raises():
         )
 
 
-def test_prime_chunk_mask_scatter():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8])
+def test_prime_chunk_mask_scatter(dtype):
     """Priming with an intra-chunk causal mask: query i of the chunk must
-    not see chunk tokens > i, while earlier cached tokens stay visible."""
+    not see chunk tokens > i, while earlier cached tokens stay visible.
+    The mask logic is dtype-independent (int8 quantization only touches
+    the stored values)."""
     capacity, dim = 8, 4
-    cache = cache_init(1, capacity, dim)
+    cache = cache_init(1, capacity, dim, dtype=dtype)
     # first: 2 plain tokens (all visible to later queries)
     cache, _, _, _ = cache_extend(
         cache, jnp.ones((1, 2, dim)), jnp.ones((1, 2, dim))
