@@ -74,10 +74,11 @@ BENCH_CFG = dict(
 )
 
 BATCH = 16  # batched multi-dialog decode (BASELINE config #3); 16 is the
-# single-chip sweet spot WITH the bf16 KV default: the f32 KV working set
-# (~184 MB ring buffers) falls off the VMEM cliff at this batch
-# (16.5k frames/s) while bf16 streams at 41-43k; batch 32 regresses to
-# ~37k (KV doubles again), batch 8 leaves throughput on the table (38k)
+# single-chip sweet spot with the shared-KV bf16 decode default
+# (measured 2026-08-18: batch 16 105.8k frames/s vs batch 32 72.3k /
+# batch 64 75.9k — past 16 the per-step attention work grows faster
+# than the step amortizes). The round-2 per-block layout reads 43.0k
+# at batch 16 bf16 (and 16.5k f32 — the old VMEM cliff)
 FRAMES = 250  # 20 s @ 12.5 fps (motion.max_len)
 LEAD = 12  # 24-frame leading warmup at pred_shift 2
 RATIO = 8
@@ -185,8 +186,9 @@ def measure():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
     mask = sampling_mask_for(FRAMES, "full")
 
-    # bf16 KV ring buffers (the generate_metaformer inference default):
-    # f32 at this batch spills past VMEM and collapses to ~16.5k
+    # shared-KV bf16 raw ring buffers (the generate_metaformer inference
+    # default): one raw buffer per other modality, per-block projections
+    # folded into the query/output sides (attend_raw)
     decode = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
     dt_scan = time_decode(decode, params, batch)
     fps_chip = BATCH * FRAMES / dt_scan
@@ -194,7 +196,7 @@ def measure():
     return {
         "metric": "ar_decode_head_pose_frames_per_sec_per_chip",
         "value": round(fps_chip, 2),
-        "unit": "frames/s/chip (batch 16 x 250 frames, metaformer-256x5, bf16 KV)",
+        "unit": "frames/s/chip (batch 16 x 250 frames, metaformer-256x5, shared bf16 KV)",
         "vs_baseline": round(fps_chip / ref["fps"], 2),
     }
 

@@ -33,6 +33,61 @@ KVCache = Dict[str, jnp.ndarray]
 _SCALE_EPS = 1e-8  # zero vectors quantize to scale eps, not div-by-zero
 
 
+def raw_cache_init(
+    batch: int, capacity: int, dim: int, dtype=jnp.float32
+) -> KVCache:
+    """Ring buffer of RAW (pre-projection) tokens, ONE array.
+
+    Backs the shared-KV decode layout (nn/attention.py attend_raw): all
+    integrators of every metaformer block attend the same other-modality
+    encodings, with each block's K/V projections folded into the query
+    and output sides. Storing the single raw stream instead of
+    per-(block, layer) projected K+V pairs shrinks the decode working
+    set 2 x num_block x (copies of K and V) — at the production size
+    (5 blocks, hidden 256) that is 92 MB -> 9.2 MB bf16 at batch 16,
+    which keeps the whole attention state VMEM-resident.
+    """
+    return {
+        "x": jnp.zeros((batch, capacity, dim), dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def raw_cache_extend(
+    cache: KVCache,
+    chunk: jnp.ndarray,
+    chunk_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[KVCache, jnp.ndarray, jnp.ndarray]:
+    """Append (B, n, D) raw tokens; return (cache', x_full, mask).
+
+    Mask semantics identical to cache_extend (True = masked): unwritten
+    slots masked; ``chunk_mask`` ((..., Lq, n) bool) scatters intra-chunk
+    causality onto the just-written slots when priming with a multi-token
+    chunk (the leading warmup segment).
+    """
+    n = chunk.shape[1]
+    capacity = cache["x"].shape[1]
+    if n > capacity:
+        raise ValueError(
+            f"cannot extend a capacity-{capacity} raw cache with a "
+            f"{n}-token chunk; raise max_context_len or shorten the "
+            "priming segment"
+        )
+    length = cache["length"]
+    pos = (length + jnp.arange(n, dtype=jnp.int32)) % capacity
+    new_x = cache["x"].at[:, pos].set(chunk.astype(cache["x"].dtype))
+    new_len = length + n
+    valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+        new_len, capacity
+    )
+    if chunk_mask is None:
+        mask = ~valid[None, :]
+    else:
+        base = jnp.broadcast_to(~valid, chunk_mask.shape[:-1] + (capacity,))
+        mask = base.at[..., pos].set(chunk_mask)
+    return {"x": new_x, "length": new_len}, new_x, mask
+
+
 def cache_init(
     batch: int,
     capacity: int,

@@ -35,7 +35,10 @@ from typing import Any, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from multimodalreactiongeneration_tpu.infer.cache import cache_init
+from multimodalreactiongeneration_tpu.infer.cache import (
+    cache_init,
+    raw_cache_init,
+)
 from multimodalreactiongeneration_tpu.models.lstm_with_sampling import (
     derived_sizes as lws_sizes,
 )
@@ -132,10 +135,22 @@ def generate_lws(
 
 
 def _init_metaformer_states(
-    model_cfg: dict, batch: int, cache_dtype=jnp.bfloat16
-) -> List[dict]:
-    """Decode states: crm KV ring buffers sized by the per-modality
-    context budgets (lstmformer.py:98-110); emb states start None."""
+    model_cfg: dict,
+    batch: int,
+    cache_dtype=jnp.bfloat16,
+    kv_layout: str = "per_block",
+):
+    """Decode states: KV ring buffers sized by the per-modality context
+    budgets (lstmformer.py:98-110); emb states start None.
+
+    kv_layout="per_block": one projected-K/V ring buffer per (block,
+    integrator, layer) — the general layout (works with
+    repeat_with_encoder, int8 quantized caches).
+    kv_layout="shared": ONE raw ring buffer per other modality holding
+    block-0's pre-projection encodings, attended by every block with its
+    projections folded into the query/output sides (attend_raw). Exact
+    same attention math, 2 x num_block x smaller decode state — the
+    measured-fastest inference layout (see generate_metaformer)."""
     budgets = context_budgets(model_cfg)
     hidden = model_cfg["hidden_size"]
     num_block = model_cfg["num_block"]
@@ -167,6 +182,12 @@ def _init_metaformer_states(
             for _ in range(layerd)
         ]
 
+    if kv_layout == "shared" and model_cfg["repeat_with_encoder"]:
+        raise ValueError(
+            "kv_layout='shared' requires repeat_with_encoder=False; "
+            "use kv_layout='per_block'"
+        )
+
     states = []
     for b in range(num_block):
         encode = b == 0 or model_cfg["repeat_with_encoder"]
@@ -178,25 +199,35 @@ def _init_metaformer_states(
             )
             for m_i, (modality, mtype) in enumerate(emb_here)
         ]
-        states.append(
-            {
-                "emb": emb_states,
-                # crm[i] = per layerd-block list of per-inner-layer caches
-                # holding POST-projection K/V (nn/mixers.MHAMixerBlock)
-                "crm": [
+        if kv_layout == "shared":
+            # integrators attend the shared raw caches; their per-block
+            # crm slots stay empty (structure mirrors what the block
+            # returns: one [None]*layerd list per integrator)
+            crm = [[None] * num_layerd for _ in range(n_other)]
+        else:
+            # crm[i] = per layerd-block list of per-inner-layer caches
+            # holding POST-projection K/V (nn/mixers.MHAMixerBlock)
+            crm = [
+                [
                     [
-                        [
-                            cache_init(
-                                batch, budgets[i], hidden, dtype=cache_dtype
-                            )
-                            for _ in range(num_inner)
-                        ]
-                        for _ in range(num_layerd)
+                        cache_init(
+                            batch, budgets[i], hidden, dtype=cache_dtype
+                        )
+                        for _ in range(num_inner)
                     ]
-                    for i in range(n_other)
-                ],
-            }
-        )
+                    for _ in range(num_layerd)
+                ]
+                for i in range(n_other)
+            ]
+        states.append({"emb": emb_states, "crm": crm})
+    if kv_layout == "shared":
+        return {
+            "shared": [
+                raw_cache_init(batch, budgets[i], hidden, dtype=cache_dtype)
+                for i in range(n_other)
+            ],
+            "blocks": states,
+        }
     return states
 
 
@@ -207,24 +238,36 @@ def generate_metaformer(
     sampling_mask: jnp.ndarray,
     cache_dtype=jnp.bfloat16,
     unroll: int = 5,
+    kv_layout: str = "shared",
 ) -> jnp.ndarray:
     """Rollout for the Metaformer with KV ring-buffer caches.
 
-    cache_dtype=bfloat16 halves the K/V buffer HBM traffic and is the
-    INFERENCE DEFAULT: the decode step is bound by streaming the ring
-    buffers (audio budget 1000 slots x 5 blocks dominates), and at the
-    production size the per-batch numbers on v5e are
-      batch 8:  f32 36.8k  vs bf16 38.3k frames/s/chip
-      batch 16: f32 16.5k (the KV working set falls off the VMEM cliff)
-                vs bf16 41-43k  <- the headline bench point
-    cache_dtype=int8 halves the resident ring buffers AGAIN (quantized
-    K/V + per-slot scales, infer/cache.py; ~2^-7 relative K/V error,
-    end-to-end drift bounded in tests/test_generate.py) — the
-    serving-density option when batch x budgets outgrow bf16's VMEM
-    sweet spot. Attention accumulates in f32 either way. Train-time
-    rollouts
-    (scheduled sampling, generation_eval) pin cache_dtype=float32 to
-    keep training numerics bit-matched to the f32 reference.
+    kv_layout="shared" (the INFERENCE DEFAULT since round 3): with
+    repeat_with_encoder off, every block's integrators attend the SAME
+    block-0 other-modality encodings, so ONE raw ring buffer per other
+    modality replaces the 2 x num_block projected-K/V buffers and each
+    integrator folds its own projections into the query/output sides
+    (TorchMHA.attend_raw — an exact reassociation, k-bias proven to
+    cancel in softmax, v-bias restored additively). The decode working
+    set shrinks 10x (92 MB -> 9.2 MB bf16 at the production size) and
+    stays VMEM-resident: measured on v5e at the bench workload,
+      batch 16 bf16:  per_block 43.0k  -> shared 105.8k frames/s/chip
+      batch 32 bf16:  shared 72.3k;  batch 64 bf16: shared 75.9k
+    (2.46x on the headline; batch 16 stays the single-chip sweet spot —
+    past it the per-step attention work grows faster than the step
+    amortizes). kv_layout="per_block" keeps the general layout:
+    repeat_with_encoder models, int8 quantized caches, and training
+    rollouts that must run the exact same ops as the f32 forward.
+
+    cache_dtype=bfloat16 halves the buffer traffic vs f32 (and in the
+    per_block layout avoids the f32 VMEM cliff: batch 16 f32 reads
+    16.5k vs bf16 41-43k). cache_dtype=int8 (per_block only — the
+    scales live in that layout) halves the resident buffers again for
+    serving density; ~2^-7 relative K/V error, end-to-end drift bounded
+    in tests/test_generate.py. Attention accumulates in f32 in every
+    layout. Train-time rollouts (scheduled sampling, generation_eval)
+    pin cache_dtype=float32 + kv_layout="per_block" to keep training
+    numerics bit-matched to the f32 reference.
 
     unroll=5 replicates the scan body so XLA overlaps the per-step
     scheduling with compute: 23.1k -> 36.8k frames/s/chip on v5e at the
@@ -243,7 +286,13 @@ def generate_metaformer(
     # Masks stay ON: warmup block outputs feed deeper-block recurrent
     # states, so intra-lead causality matters (the chunk masks are
     # scattered onto the primed cache slots by cache_extend).
-    states = _init_metaformer_states(cfg, batch, cache_dtype)
+    if kv_layout == "shared" and (
+        cfg["repeat_with_encoder"] or cache_dtype == jnp.int8
+    ):
+        # shared layout needs block-0 encoding reuse, and quantized
+        # caches carry per-slot scales only in the per-block layout
+        kv_layout = "per_block"
+    states = _init_metaformer_states(cfg, batch, cache_dtype, kv_layout)
     _, states = model.apply(
         params, lead_a, lead_mp, lead_ms, states=states, use_masks=True
     )

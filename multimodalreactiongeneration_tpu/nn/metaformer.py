@@ -13,6 +13,19 @@ State handling is re-designed (see nn/mixers.py docstring): ``states`` is
 a list of per-block dicts {"emb": [...], "crm": [...]} threaded
 functionally; recurrent embedding mixers carry (h, c), attention paths
 carry fixed-shape KV ring buffers during decode.
+
+Shared-KV decode layout (states = {"shared": [...], "blocks": [...]}):
+when ``repeat_with_encoder`` is off, every block's integrators attend
+the SAME block-0 other-modality encodings — so instead of one projected
+K/V ring buffer per (block, integrator, layer), ONE raw ring buffer per
+other modality (infer/cache.py raw_cache_*) holds the pre-projection
+encodings and each integrator folds its own projections via
+TorchMHA.attend_raw. Exact same attention math; the carried decode
+state shrinks 2 x num_block x (92 MB -> 9.2 MB bf16 at the production
+size), keeping it VMEM-resident. In this mode a block RETURNS the
+(x_full, mask) pairs in the ``other_modals`` slot — that is the
+downstream-reusable form of the encodings, consumed by later blocks as
+``shared_kv``.
 """
 
 from __future__ import annotations
@@ -49,9 +62,15 @@ class MultiModalMetaformerBlock(nn.Module):
         state: Optional[BlockState] = None,
         self_masks: Optional[List[Optional[jnp.ndarray]]] = None,
         cross_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        shared_state: Optional[List[Any]] = None,
+        shared_kv: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
         *,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], BlockState]:
+        from multimodalreactiongeneration_tpu.infer.cache import (
+            raw_cache_extend,
+        )
+
         n_others = self.num_modal - 1
         self_masks = self_masks or [None] * self.num_modal
         cross_masks = cross_masks or [None] * n_others
@@ -85,20 +104,44 @@ class MultiModalMetaformerBlock(nn.Module):
         if self.encode_other_modal:
             other_modals = embedded[1:]
 
+        # --- shared-KV extend: push this step's raw other-modality
+        # encodings into the per-modality raw ring buffers ONCE; every
+        # integrator below (and in later blocks) attends these via
+        # attend_raw with its own folded projections
+        if shared_state is not None:
+            assert self.encode_other_modal, (
+                "shared_state belongs to the encoding block"
+            )
+            new_state["shared"] = []
+            shared_kv = []
+            for i in range(n_others):
+                c2, x_full, mask = raw_cache_extend(
+                    shared_state[i], other_modals[i], chunk_mask=cross_masks[i]
+                )
+                new_state["shared"].append(c2)
+                shared_kv.append((x_full, mask))
+
         # --- integrate (cross attention into each other modal) -------------
         ys = []
         for i, cfg in enumerate(self.integrate_configs):
             integ = MHAMixerLayerd(
                 **{**cfg, "self_attention": False}, name=f"integrate_{i}"
             )
-            y, st = integ(
-                main_out,
-                key=other_modals[i],
-                value=other_modals[i],
-                attn_mask=cross_masks[i],
-                caches=crm_state[i],
-                deterministic=deterministic,
-            )
+            if shared_kv is not None:
+                y, st = integ(
+                    main_out,
+                    shared_raw=shared_kv[i],
+                    deterministic=deterministic,
+                )
+            else:
+                y, st = integ(
+                    main_out,
+                    key=other_modals[i],
+                    value=other_modals[i],
+                    attn_mask=cross_masks[i],
+                    caches=crm_state[i],
+                    deterministic=deterministic,
+                )
             ys.append(y)
             new_state["crm"].append(st)
         merged = jnp.concatenate(ys, axis=-1)
@@ -107,6 +150,9 @@ class MultiModalMetaformerBlock(nn.Module):
 
         # --- feedforward ----------------------------------------------------
         out = FeedForward(**self.feedforward_config, name="feed_forward")(merged)
+        if shared_kv is not None:
+            # downstream-reusable form of the encodings in shared-KV mode
+            return out, shared_kv, new_state
         return out, list(other_modals), new_state
 
 
@@ -145,7 +191,18 @@ class MultiModalMetaformer(nn.Module):
             for i, om in enumerate(other_modals)
         ]
 
+        # shared-KV decode layout: {"shared": [raw caches], "blocks": [...]}
+        shared_mode = isinstance(states, dict)
+        if shared_mode and self.repeat_with_encoder:
+            raise ValueError(
+                "shared-KV decode requires repeat_with_encoder=False "
+                "(blocks must reuse block-0 encodings)"
+            )
+        block_states = states["blocks"] if shared_mode else states
+        shared = states["shared"] if shared_mode else None
+
         new_states: List[BlockState] = []
+        new_shared = None
         for layer in range(self.num_layer):
             encode = layer == 0 or self.repeat_with_encoder
             block = MultiModalMetaformerBlock(
@@ -157,15 +214,19 @@ class MultiModalMetaformer(nn.Module):
                 encode_other_modal=encode,
                 name=f"block_{layer}",
             )
-            st = None if states is None else states[layer]
+            st = None if block_states is None else block_states[layer]
             y, others, new_st = block(
                 main,
                 others,
                 st,
                 self_masks,
                 cross_masks,
+                shared_state=shared if shared_mode and layer == 0 else None,
+                shared_kv=others if shared_mode and layer > 0 else None,
                 deterministic=deterministic,
             )
+            if shared_mode and layer == 0:
+                new_shared = new_st.pop("shared")
             if self.interlayer_residual:
                 y = y + main
                 if self.interlayer_residual_norm:
@@ -174,4 +235,6 @@ class MultiModalMetaformer(nn.Module):
             new_states.append(new_st)
 
         out = FeedForward(**self.output_feedforward_config, name="output_ff")(main)
+        if shared_mode:
+            return out, others, {"shared": new_shared, "blocks": new_states}
         return out, others, new_states

@@ -160,6 +160,10 @@ class MHAMixerBlock(nn.Module):
                    layer holding POST-projection K/V; per step only the
                    incoming chunk is projected (the reference's concat
                    design reprojects the whole history every step).
+    shared_raw  -> shared-KV decode path: (x_full, mask) of a RAW
+                   (pre-projection) token stream kept ONCE for all
+                   blocks/layers (infer/cache.py raw_cache_*); each inner
+                   MHA folds its own K/V projections via attend_raw.
     """
 
     hidden_size: int
@@ -182,6 +186,7 @@ class MHAMixerBlock(nn.Module):
         value: jnp.ndarray,
         attn_mask=None,  # bool mask (True = masked)
         cache: Optional[List[KVCache]] = None,
+        shared_raw: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         *,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[List[KVCache]]]:
@@ -199,7 +204,12 @@ class MHAMixerBlock(nn.Module):
                 use_bias=self.use_bias,
                 name=f"mha_{i}",
             )
-            if cache is None:
+            if shared_raw is not None:
+                x_full, smask = shared_raw
+                y_att = mha.attend_raw(
+                    y, x_full, smask, deterministic=deterministic
+                )
+            elif cache is None:
                 y_att = mha(y, key, value, attn_mask,
                             deterministic=deterministic)
             else:
@@ -462,6 +472,7 @@ class MHAMixerLayerd(nn.Module):
         value: Optional[jnp.ndarray] = None,
         attn_mask: Optional[jnp.ndarray] = None,
         caches: Optional[List[Optional[KVCache]]] = None,
+        shared_raw: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         *,
         deterministic: bool = True,
     ):
@@ -469,8 +480,13 @@ class MHAMixerLayerd(nn.Module):
         if self.input_projection_size is not None:
             query = nn.Dense(self.hidden_size, name="input_projection")(query)
         if self.self_attention:
+            if shared_raw is not None:
+                raise ValueError(
+                    "shared_raw is a cross-attention decode path; "
+                    "self-attention stacks re-key per block"
+                )
             key, value = query, query
-        if key is None or value is None:
+        if shared_raw is None and (key is None or value is None):
             raise ValueError("key/value required when self_attention is False")
 
         new_caches = []
@@ -494,7 +510,8 @@ class MHAMixerLayerd(nn.Module):
                 bottleneck_size=self.bottleneck_size,
                 use_bias=self.use_bias,
                 name=f"block_{i}",
-            )(query, key, value, attn_mask, cache, deterministic=deterministic)
+            )(query, key, value, attn_mask, cache, shared_raw,
+              deterministic=deterministic)
             new_caches.append(new_cache)
         if self.output_projection_size is not None:
             query = nn.Dense(self.output_projection_size, name="output_projection")(

@@ -30,9 +30,15 @@ def make_generation_eval(model, model_type: str, model_cfg) -> Callable:
         gen = generate_lws
     else:
         # genrt_loss is a VALIDATION metric monitored for checkpoints
-        # (reference G{epoch}-{genrt_loss}); keep it on f32 KV so its
-        # value is independent of the bf16 inference default
-        gen = functools.partial(generate_metaformer, cache_dtype=jnp.float32)
+        # (reference G{epoch}-{genrt_loss}); keep it on f32 KV and the
+        # per-block layout so its value is independent of the bf16
+        # shared-KV inference default (per_block runs the exact same ops
+        # as the training forward — attend_raw reassociates)
+        gen = functools.partial(
+            generate_metaformer,
+            cache_dtype=jnp.float32,
+            kv_layout="per_block",
+        )
 
     @jax.jit
     def _one(params, data):

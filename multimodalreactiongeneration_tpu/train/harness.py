@@ -185,10 +185,15 @@ def scheduled_sampling_step_fn(
     if model_type == "lstm_with_sampling":
         gen = generate_lws
     else:
-        # f32 KV during TRAINING rollouts: gradients flow through the
-        # scan, and the reference trains in f32 (the bf16 inference
-        # default would perturb the scheduled-sampling loss surface)
-        gen = functools.partial(generate_metaformer, cache_dtype=jnp.float32)
+        # f32 KV + per-block layout during TRAINING rollouts: gradients
+        # flow through the scan, and the reference trains in f32 with
+        # exactly these ops (the bf16 shared-KV inference default would
+        # perturb the scheduled-sampling loss surface)
+        gen = functools.partial(
+            generate_metaformer,
+            cache_dtype=jnp.float32,
+            kv_layout="per_block",
+        )
 
     def forward_loss(params, batch, rng, rate):
         data = tuple(b[0] for b in batch)

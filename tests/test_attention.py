@@ -95,3 +95,44 @@ def test_fully_masked_row_is_finite():
     params = model.init(jax.random.PRNGKey(0), x, x, x)
     y = model.apply(params, x, x, x, mask)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_attend_raw_folds_projections_exactly():
+    """attend_raw (shared-KV decode: K/V projections folded into the
+    query/output sides) is an EXACT reassociation of __call__(q, x, x):
+    the k-bias adds a per-query constant to every key's logit (softmax
+    shift-invariant), the v-bias returns additively because attention
+    weights sum to 1. Verified with NONZERO random biases at highest
+    matmul precision (at default precision the two formulations round
+    differently on purpose — that is the speed)."""
+    import jax
+
+    B, Lq, S, E, kdim = 2, 3, 11, 32, 24
+    model = TorchMHA(embed_dim=E, num_heads=4, kdim=kdim, vdim=kdim)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, Lq, E))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, kdim))
+    params = model.init(jax.random.PRNGKey(2), q, x, x)
+    # init biases are zeros: inject random ones so the bias-folding
+    # algebra is actually exercised
+    leaves = dict(params["params"])
+    for name in ("q_proj_bias", "k_proj_bias", "v_proj_bias",
+                 "out_proj_bias"):
+        leaves[name] = jax.random.normal(
+            jax.random.PRNGKey(hash(name) % 1000), leaves[name].shape
+        )
+    params = {"params": leaves}
+    mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.3, (B, Lq, S))
+
+    with jax.default_matmul_precision("highest"):
+        ref = model.apply(params, q, x, x, mask)
+        raw = model.apply(params, q, x, mask, method=TorchMHA.attend_raw)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(ref), atol=2e-5)
+
+    # fully-masked rows keep the uniform-average degradation
+    full = jnp.ones((B, Lq, S), bool)
+    with jax.default_matmul_precision("highest"):
+        ref_f = model.apply(params, q, x, x, full)
+        raw_f = model.apply(params, q, x, full, method=TorchMHA.attend_raw)
+    assert np.isfinite(np.asarray(raw_f)).all()
+    np.testing.assert_allclose(np.asarray(raw_f), np.asarray(ref_f), atol=2e-5)

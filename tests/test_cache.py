@@ -148,3 +148,47 @@ def test_int8_zero_vectors_are_exact():
     )
     assert np.isfinite(np.asarray(k, np.float32)).all()
     np.testing.assert_array_equal(np.asarray(k, np.float32)[:, :2], 0.0)
+
+
+def test_raw_cache_matches_kv_cache_ring_arithmetic():
+    """raw_cache_extend (single-array, shared-KV decode) must produce
+    the same ring positions, contents and masks as cache_extend."""
+    from multimodalreactiongeneration_tpu.infer.cache import (
+        raw_cache_extend,
+        raw_cache_init,
+    )
+
+    rng = np.random.default_rng(3)
+    batch, dim, capacity = 2, 8, 7
+    kv = cache_init(batch, capacity, dim)
+    raw = raw_cache_init(batch, capacity, dim)
+    for n in [3, 1, 5, 2, 7, 1, 4]:
+        chunk = jnp.asarray(rng.standard_normal((batch, n, dim)), jnp.float32)
+        kv, k_full, _, m_kv = cache_extend(kv, chunk, chunk)
+        raw, x_full, m_raw = raw_cache_extend(raw, chunk)
+        np.testing.assert_array_equal(np.asarray(m_kv), np.asarray(m_raw))
+        np.testing.assert_allclose(
+            np.asarray(x_full), np.asarray(k_full), atol=0
+        )
+        assert int(raw["length"]) == int(kv["length"])
+
+
+def test_raw_cache_overflow_and_prime_mask():
+    from multimodalreactiongeneration_tpu.infer.cache import (
+        raw_cache_extend,
+        raw_cache_init,
+    )
+
+    raw = raw_cache_init(1, 4, 2)
+    with pytest.raises(ValueError):
+        raw_cache_extend(raw, jnp.zeros((1, 5, 2)))
+
+    # prime a 3-token chunk with an intra-chunk causal mask: scattered
+    # onto written slots, unwritten slot stays masked
+    causal = jnp.triu(jnp.ones((3, 3), bool), k=1)[None]
+    _, _, mask = raw_cache_extend(raw, jnp.ones((1, 3, 2)), chunk_mask=causal)
+    assert mask.shape == (1, 3, 4)
+    np.testing.assert_array_equal(
+        np.asarray(mask[0, :, :3]), np.asarray(causal[0])
+    )
+    assert bool(mask[0, :, 3].all())  # unwritten slot masked for all queries

@@ -101,7 +101,10 @@ def test_metaformer_teacher_decode_matches_shifted_forward():
 
     pred = generate_metaformer(
         model, params, batch, sampling_mask_for(6, "teacher"),
-        cache_dtype=jnp.float32,  # exactness claim needs f32 KV
+        # exactness claim needs f32 KV and the per_block layout (same ops
+        # as the forward; the shared layout reassociates the projections
+        # and is compared against per_block separately below)
+        cache_dtype=jnp.float32, kv_layout="per_block",
     )
     y_full, _ = model.apply(
         params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
@@ -133,6 +136,44 @@ def test_metaformer_teacher_decode_matches_shifted_forward():
     )
 
 
+def test_metaformer_shared_kv_layout_matches_per_block():
+    """The shared-KV decode layout (one raw ring buffer per other
+    modality, per-block projections folded via attend_raw — the
+    inference default) is an exact reassociation of the per-block
+    layout: equal at highest matmul precision, drift-bounded at the
+    default precision / bf16 caches."""
+    cfg = dict(MF_CFG, max_context_len=100)
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(20))
+    params = jax.jit(model.init)(jax.random.PRNGKey(21), *batch[:6])
+    mask = sampling_mask_for(6, "full")
+
+    with jax.default_matmul_precision("highest"):
+        ring = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="per_block",
+        )
+        shared = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+        )
+    np.testing.assert_allclose(
+        np.asarray(shared), np.asarray(ring), atol=1e-5
+    )
+
+    # inference default (shared, bf16 raw cache) stays near the f32 path
+    shared_bf16 = generate_metaformer(model, params, batch, mask)
+    np.testing.assert_allclose(
+        np.asarray(shared_bf16), np.asarray(ring), atol=5e-2
+    )
+
+    # int8 falls back to the per-block layout (scales live there)
+    int8 = generate_metaformer(
+        model, params, batch, mask, cache_dtype=jnp.int8
+    )
+    assert np.isfinite(np.asarray(int8)).all()
+
+
 def test_metaformer_full_generation_runs_jitted():
     model = Metaformer(cfg=MF_CFG)
     batch = _full_batch(jax.random.PRNGKey(8))
@@ -161,7 +202,7 @@ def test_metaformer_mha_emb_teacher_decode_matches_forward():
 
     pred = generate_metaformer(
         model, params, batch, sampling_mask_for(6, "teacher"),
-        cache_dtype=jnp.float32,  # exactness claim needs f32 KV
+        cache_dtype=jnp.float32, kv_layout="per_block",  # see above
     )
     y_full, _ = model.apply(
         params, batch[0], batch[1], _shifted_ms(batch[2]), *batch[3:6]
@@ -169,3 +210,16 @@ def test_metaformer_mha_emb_teacher_decode_matches_forward():
     np.testing.assert_allclose(
         np.asarray(pred), np.asarray(y_full[:, 2:]), atol=5e-4
     )
+
+    # the shared layout must agree with per_block for mha embeddings too
+    # (emb ring buffers coexist with the shared integrator caches)
+    with jax.default_matmul_precision("highest"):
+        a = generate_metaformer(
+            model, params, batch, sampling_mask_for(6, "teacher"),
+            cache_dtype=jnp.float32, kv_layout="per_block",
+        )
+        b = generate_metaformer(
+            model, params, batch, sampling_mask_for(6, "teacher"),
+            cache_dtype=jnp.float32, kv_layout="shared",
+        )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
