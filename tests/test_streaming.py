@@ -78,8 +78,10 @@ def test_streaming_session_steps():
     outs = np.concatenate(outs, axis=1)
     assert outs.shape == (1, 5, 18)
     assert np.isfinite(outs).all()
-    # KV caches actually grew (context budget accounting)
-    assert int(session.states[0]["crm"][0][0][0]["length"]) == 5 * 8
+    # KV caches actually grew (context budget accounting): the session
+    # defaults to the shared raw-KV layout (one audio cache for all blocks)
+    assert session.kv_layout == "shared"
+    assert int(session.states["shared"][0]["length"]) == 5 * 8
 
 
 def test_streaming_wrong_chunk_size_raises():
