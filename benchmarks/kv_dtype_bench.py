@@ -1,15 +1,21 @@
-"""KV ring-buffer dtype x batch sweep for the AR decode headline.
+"""KV layout x dtype x batch sweep for the AR decode headline.
 
-The decode step is bound by streaming the KV ring buffers
-(5 blocks x sum(budgets) x hidden x batch x dtype); bf16 KV made
-batch 16 the single-chip sweet spot (README). int8 KV (infer/cache.py)
-halves the resident buffers again — this sweep measures whether that
-moves the sweet spot to batch 32 and by how much.
+Two KV layouts (infer/generate.py): "shared" keeps ONE raw ring buffer
+per other modality with per-block projections folded at attention time
+(10x smaller state — the inference default, 105.8k frames/s at batch
+16 bf16 on v5e, 2026-08-18); "per_block" keeps projected K/V per
+(block, integrator, layer) — required for int8 (per-slot scales) and
+repeat_with_encoder, bound by streaming 5 blocks x sum(budgets) x
+hidden x batch x dtype (43.0k at batch 16 bf16; int8 halves the
+buffers and moves its VMEM cliff: 34.6k@16, 39.2k@32).
 
-    python benchmarks/kv_dtype_bench.py --batches 16 32 --dtypes bf16 int8
+    python benchmarks/kv_dtype_bench.py --batches 16 32 \
+        --dtypes bf16 int8 [--layouts shared per_block]
 
-One JSON line per (batch, dtype) with frames/s/chip, timed exactly like
-bench.py (slope over chained perturbed runs, median of 3 estimates).
+One JSON line per (batch, dtype, layout) with frames/s/chip, timed
+exactly like bench.py (slope over chained perturbed runs, median of 3
+estimates). int8 always reports the per-block layout (the fallback
+generate_metaformer applies).
 """
 
 import argparse
@@ -26,6 +32,8 @@ def main():
     ap.add_argument("--dtypes", nargs="+", default=["bf16", "int8"],
                     choices=["f32", "bf16", "int8"])
     ap.add_argument("--frames", type=int, default=250)
+    ap.add_argument("--layouts", nargs="+", default=["shared"],
+                    choices=["shared", "per_block"])
     args = ap.parse_args()
 
     import jax
@@ -49,25 +57,29 @@ def main():
         params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
         mask = sampling_mask_for(frames, "full")
         for name in args.dtypes:
-            decode = jax.jit(
-                lambda p, bt, d=dt[name]: generate_metaformer(
-                    model, p, bt, mask, cache_dtype=d
+            layouts = ["per_block"] if name == "int8" else args.layouts
+            for layout in layouts:
+                decode = jax.jit(
+                    lambda p, bt, d=dt[name], lay=layout: generate_metaformer(
+                        model, p, bt, mask, cache_dtype=d, kv_layout=lay
+                    )
                 )
-            )
-            try:
-                dt_step = bench.time_decode(decode, params, batch)
-            except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+                try:
+                    dt_step = bench.time_decode(decode, params, batch)
+                except Exception as exc:  # noqa: BLE001 — keep sweeping
+                    print(json.dumps({
+                        "metric": "ar_decode_frames_per_sec_per_chip",
+                        "batch": b, "kv": name, "layout": layout,
+                        "error": str(exc)[:200],
+                    }))
+                    continue
                 print(json.dumps({
                     "metric": "ar_decode_frames_per_sec_per_chip",
-                    "batch": b, "kv": name, "error": str(exc)[:200],
-                }))
-                continue
-            print(json.dumps({
-                "metric": "ar_decode_frames_per_sec_per_chip",
-                "batch": b,
-                "kv": name,
-                "value": round(b * frames / dt_step, 1),
-            }), flush=True)
+                    "batch": b,
+                    "kv": name,
+                    "layout": layout,
+                    "value": round(b * frames / dt_step, 1),
+                }), flush=True)
 
 
 if __name__ == "__main__":
