@@ -182,10 +182,20 @@ def _init_metaformer_states(
             for _ in range(layerd)
         ]
 
+    if kv_layout not in ("shared", "per_block"):
+        raise ValueError(
+            f"kv_layout must be 'shared' or 'per_block', got {kv_layout!r}"
+        )
     if kv_layout == "shared" and model_cfg["repeat_with_encoder"]:
         raise ValueError(
             "kv_layout='shared' requires repeat_with_encoder=False; "
             "use kv_layout='per_block'"
+        )
+    if kv_layout == "shared" and cache_dtype == jnp.int8:
+        # a raw int8 cache would truncate float encodings with no scales
+        raise ValueError(
+            "kv_layout='shared' does not support int8 caches (per-slot "
+            "quantization scales live in the per_block layout)"
         )
 
     states = []

@@ -196,6 +196,14 @@ class TorchMHA(nn.Module):
         e, h = self.embed_dim, self.num_heads
         dh = e // h
         kdim = raw.shape[-1]
+        if (self.vdim or e) != (self.kdim or e):
+            # key IS value here, so both projections read the same
+            # raw dim; kdim != vdim modules must use project_kv/attend
+            raise ValueError(
+                "attend_raw requires kdim == vdim (key and value are "
+                f"the same raw stream); got kdim={self.kdim} "
+                f"vdim={self.vdim}"
+            )
         batch, q_len, s_len = query.shape[0], query.shape[1], raw.shape[1]
 
         q = jnp.einsum("blk,ek->ble", query, self.w_q) + self.b_q

@@ -35,6 +35,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodalreactiongeneration_tpu.infer.cache import raw_cache_extend
 from multimodalreactiongeneration_tpu.nn.basic import LN_EPS, FeedForward
 from multimodalreactiongeneration_tpu.nn.mixers import (
     MHAMixerLayerd,
@@ -67,10 +68,6 @@ class MultiModalMetaformerBlock(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], BlockState]:
-        from multimodalreactiongeneration_tpu.infer.cache import (
-            raw_cache_extend,
-        )
-
         n_others = self.num_modal - 1
         self_masks = self_masks or [None] * self.num_modal
         cross_masks = cross_masks or [None] * n_others

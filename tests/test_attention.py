@@ -116,10 +116,11 @@ def test_attend_raw_folds_projections_exactly():
     # init biases are zeros: inject random ones so the bias-folding
     # algebra is actually exercised
     leaves = dict(params["params"])
-    for name in ("q_proj_bias", "k_proj_bias", "v_proj_bias",
-                 "out_proj_bias"):
+    for i, name in enumerate(
+        ("q_proj_bias", "k_proj_bias", "v_proj_bias", "out_proj_bias")
+    ):
         leaves[name] = jax.random.normal(
-            jax.random.PRNGKey(hash(name) % 1000), leaves[name].shape
+            jax.random.PRNGKey(100 + i), leaves[name].shape
         )
     params = {"params": leaves}
     mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.3, (B, Lq, S))
