@@ -34,6 +34,15 @@ def main():
     ap.add_argument("--frames", type=int, default=250)
     ap.add_argument("--layouts", nargs="+", default=["shared"],
                     choices=["shared", "per_block"])
+    ap.add_argument("--hoist", default="auto", choices=["auto", "off"],
+                    help="encoder hoist (generate_metaformer "
+                    "hoist_encoders); 'off' forces the in-loop encoders")
+    ap.add_argument("--param-dtype", default="f32",
+                    choices=["f32", "bf16"],
+                    help="cast model params for the decode (bf16 halves "
+                    "the per-step HBM param traffic; drift-bounding "
+                    "tests in tests/test_generate.py gate any default "
+                    "change)")
     args = ap.parse_args()
 
     import jax
@@ -55,13 +64,22 @@ def main():
             jax.random.PRNGKey(0), batch=b, frames=frames
         )
         params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
+        if args.param_dtype == "bf16":
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                params,
+            )
         mask = sampling_mask_for(frames, "full")
+        hoist = "auto" if args.hoist == "auto" else False
         for name in args.dtypes:
             layouts = ["per_block"] if name == "int8" else args.layouts
             for layout in layouts:
                 decode = jax.jit(
                     lambda p, bt, d=dt[name], lay=layout: generate_metaformer(
-                        model, p, bt, mask, cache_dtype=d, kv_layout=lay
+                        model, p, bt, mask, cache_dtype=d, kv_layout=lay,
+                        hoist_encoders=hoist,
                     )
                 )
                 try:
@@ -78,6 +96,8 @@ def main():
                     "batch": b,
                     "kv": name,
                     "layout": layout,
+                    "hoist": args.hoist,
+                    "params": args.param_dtype,
                     "value": round(b * frames / dt_step, 1),
                 }), flush=True)
 

@@ -139,6 +139,7 @@ def _init_metaformer_states(
     batch: int,
     cache_dtype=jnp.bfloat16,
     kv_layout: str = "per_block",
+    hoisted: bool = False,
 ):
     """Decode states: KV ring buffers sized by the per-modality context
     budgets (lstmformer.py:98-110); emb states start None.
@@ -197,10 +198,15 @@ def _init_metaformer_states(
             "kv_layout='shared' does not support int8 caches (per-slot "
             "quantization scales live in the per_block layout)"
         )
+    if hoisted and kv_layout != "shared":
+        raise ValueError("hoisted encoders require kv_layout='shared'")
 
     states = []
     for b in range(num_block):
-        encode = b == 0 or model_cfg["repeat_with_encoder"]
+        # hoisted: the other-modality encoders run OUTSIDE the loop, so
+        # block 0 carries only the main-modality emb state (like later
+        # blocks) — the structure the precomputed_others path returns
+        encode = (b == 0 and not hoisted) or model_cfg["repeat_with_encoder"]
         emb_here = emb_order if encode else emb_order[:1]
         emb_states = [
             emb_state(
@@ -249,8 +255,35 @@ def generate_metaformer(
     cache_dtype=jnp.bfloat16,
     unroll: int = 5,
     kv_layout: str = "shared",
+    hoist_encoders="auto",
 ) -> jnp.ndarray:
     """Rollout for the Metaformer with KV ring-buffer caches.
+
+    hoist_encoders ("auto" | True | False): the other-modality encoders
+    (audio, partner motion) depend only on the KNOWN input streams —
+    never on the model's own predictions — so in offline generation they
+    need not run inside the AR loop at all. The hoisted path computes
+    block-0's other-modality encodings for lead+seq in ONE full-sequence
+    pass (where the fused Pallas recurrence kernels run at their long-
+    sequence speed), then the per-step scan only extends the raw ring
+    buffers from the precomputed stream and runs the main-modality
+    chain + attend_raw. Exactly the same math — recurrent encoders carry
+    state across chunks, so full-sequence == chunked (associativity);
+    equality tested in tests/test_generate.py. At the bench workload
+    this removes 45 sequential LSTM cells per step (audio 8 frames x 5
+    layers + partner motion 5 layers) from the loop body. Measured on
+    v5e it is throughput-NEUTRAL (104.9k vs 105.8k frames/s at batch
+    16) — XLA was already overlapping the encoder chain with the main
+    path, so the step was never waiting on it. The hoist still pays
+    structurally: the scan body shrinks to main-chain + attend_raw
+    only (no recurrent encoder stacks), which is what makes a future
+    fully-fused single-kernel rollout tractable, and the one-shot
+    full-sequence encoder pass runs at the Pallas kernels' long-
+    sequence speed instead of 8-frame chunks. "auto" hoists whenever
+    valid: shared KV layout and no mha other-modality embeddings
+    (their ring-buffer visibility would need a banded mask full-
+    sequence). Streaming/serving keep the in-loop path (audio arrives
+    live there).
 
     kv_layout="shared" (the INFERENCE DEFAULT since round 3): with
     repeat_with_encoder off, every block's integrators attend the SAME
@@ -302,6 +335,66 @@ def generate_metaformer(
         # shared layout needs block-0 encoding reuse, and quantized
         # caches carry per-slot scales only in the per-block layout
         kv_layout = "per_block"
+
+    other_types = list(cfg["emb_mixers"])
+    other_types.pop(cfg["main_modal_idx"])
+    hoistable = kv_layout == "shared" and all(
+        t != "mha" for t in other_types
+    )
+    if hoist_encoders == "auto":
+        hoist = hoistable
+    else:
+        hoist = bool(hoist_encoders)
+        if hoist and not hoistable:
+            raise ValueError(
+                "hoist_encoders=True needs the shared KV layout and "
+                "non-mha other-modality embeddings "
+                f"(kv_layout={kv_layout!r}, emb types {other_types})"
+            )
+
+    if hoist:
+        # one full-sequence pass over the known input streams produces
+        # every other-modality encoding the whole rollout will attend
+        full_a = jnp.concatenate([lead_a, fbank], axis=1)
+        full_mp = jnp.concatenate([lead_mp, motion_p], axis=1)
+        enc_a, enc_mp = model.apply(
+            params, full_a, full_mp, None, encode_others_only=True
+        )
+        la, lm = lead_a.shape[1], lead_mp.shape[1]
+        hidden = cfg["hidden_size"]
+        steps = motion_s.shape[1]
+        enc_a_steps = (
+            enc_a[:, la:]
+            .reshape(batch, steps, ratio, hidden)
+            .transpose(1, 0, 2, 3)
+        )
+        enc_mp_steps = enc_mp[:, lm:].transpose(1, 0, 2)[:, :, None, :]
+
+        states = _init_metaformer_states(
+            cfg, batch, cache_dtype, kv_layout, hoisted=True
+        )
+        _, states = model.apply(
+            params, lead_a, lead_mp, lead_ms, states=states, use_masks=True,
+            precomputed_others=[enc_a[:, :la], enc_mp[:, :lm]],
+        )
+
+        def step(carry, xs):
+            prev, st = carry
+            ea_t, emp_t, ms_t, mask_t = xs
+            y, new_st = model.apply(
+                params, None, None, prev, states=st, use_masks=False,
+                precomputed_others=[ea_t, emp_t],
+            )
+            nxt = jnp.where(mask_t, y, ms_t)
+            return (nxt, new_st), y
+
+        init = (ms[0], states)
+        (_, _), ys = jax.lax.scan(
+            step, init, (enc_a_steps, enc_mp_steps, ms, sampling_mask),
+            unroll=unroll,
+        )
+        return ys[:, :, 0, :].transpose(1, 0, 2)
+
     states = _init_metaformer_states(cfg, batch, cache_dtype, kv_layout)
     _, states = model.apply(
         params, lead_a, lead_mp, lead_ms, states=states, use_masks=True

@@ -160,11 +160,13 @@ class Metaformer(nn.Module):
         *,
         use_masks: bool = True,
         deterministic: bool = True,
+        encode_others_only: bool = False,
+        precomputed_others: Optional[List[jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, List[Any]]:
         cfg = self.cfg
 
         def cat_lead(lead, main):
-            if lead is None or lead.shape[1] == 0:
+            if main is None or lead is None or lead.shape[1] == 0:
                 return main
             return jnp.concatenate([lead, main], axis=1)
 
@@ -176,6 +178,31 @@ class Metaformer(nn.Module):
         emb_mixers = list(cfg["emb_mixers"])
         other_types = list(emb_mixers)
         main_type = other_types.pop(main_idx)
+
+        if encode_others_only:
+            # hoisted other-modality encoder pass for AR decode
+            # (infer/generate.py): acoustic_partner / motion_partner are
+            # the FULL streams (lead + seq); returns their block-0
+            # encodings. mha embeddings are refused: a full-sequence
+            # causal mask sees unboundedly far back, while the in-loop
+            # ring buffer truncates to the context budget — hoisting them
+            # would need a banded mask to match (not implemented).
+            if any(t == "mha" for t in other_types):
+                raise ValueError(
+                    "encode_others_only does not support mha other-"
+                    "modality embeddings (ring-buffer visibility differs "
+                    "from a full-sequence causal mask); use the in-loop "
+                    "decode path"
+                )
+            return self._build()(
+                None,
+                [acoustic, motion_p],
+                None,
+                None,
+                None,
+                encode_others_only=True,
+                deterministic=deterministic,
+            )
 
         self_masks = [None, None, None]
         cross_masks = [None, None]
@@ -201,11 +228,11 @@ class Metaformer(nn.Module):
                 self_masks[0] = rectangular_causal_mask(
                     motion_s.shape[1], motion_s.shape[1]
                 )
-            if other_types[0] == "mha":
+            if other_types[0] == "mha" and acoustic is not None:
                 self_masks[1] = rectangular_causal_mask(
                     acoustic.shape[1], acoustic.shape[1]
                 )
-            if other_types[1] == "mha":
+            if other_types[1] == "mha" and motion_p is not None:
                 self_masks[2] = rectangular_causal_mask(
                     motion_p.shape[1], motion_p.shape[1]
                 )
@@ -216,6 +243,7 @@ class Metaformer(nn.Module):
             states,
             self_masks,
             cross_masks,
+            precomputed_others=precomputed_others,
             deterministic=deterministic,
         )
         return y, new_states

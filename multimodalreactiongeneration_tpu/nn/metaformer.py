@@ -65,6 +65,7 @@ class MultiModalMetaformerBlock(nn.Module):
         cross_masks: Optional[List[Optional[jnp.ndarray]]] = None,
         shared_state: Optional[List[Any]] = None,
         shared_kv: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+        encode_only: bool = False,
         *,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], BlockState]:
@@ -73,6 +74,28 @@ class MultiModalMetaformerBlock(nn.Module):
         cross_masks = cross_masks or [None] * n_others
         emb_state = state["emb"] if state else [None] * self.num_modal
         crm_state = state["crm"] if state else [None] * n_others
+
+        if encode_only:
+            # other-modality encoder pass ONLY (the AR-decode encoder
+            # hoist, infer/generate.py): run emb_1..emb_n full-sequence
+            # from fresh states and return the encodings. The main path
+            # and integrators are not touched — their params are simply
+            # unvisited in this apply. Param paths are identical to the
+            # normal pass (same emb_i names), so the hoisted encodings
+            # are computed by the very same weights.
+            assert self.encode_other_modal, "encode_only needs the encoder block"
+            encoded = []
+            for i, (mixer_type, cfg) in enumerate(self.other_mixers, start=1):
+                layerd = build_mixer_layerd(mixer_type, cfg, name=f"emb_{i}")
+                x = other_modals[i - 1]
+                if mixer_type == "mha":
+                    y, _ = layerd(
+                        x, attn_mask=self_masks[i], deterministic=deterministic
+                    )
+                else:
+                    y, _ = layerd(x, None, deterministic=deterministic)
+                encoded.append(y)
+            return encoded
 
         new_state: BlockState = {"emb": [], "crm": []}
 
@@ -178,15 +201,46 @@ class MultiModalMetaformer(nn.Module):
         states: Optional[List[BlockState]] = None,
         self_masks: Optional[List[Optional[jnp.ndarray]]] = None,
         cross_masks: Optional[List[Optional[jnp.ndarray]]] = None,
+        encode_others_only: bool = False,
+        precomputed_others: Optional[List[jnp.ndarray]] = None,
         *,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[BlockState]]:
-        # feature projections (reference :433-435, 486-490)
+        if encode_others_only:
+            # hoisted other-modality encoder pass (AR-decode hoist): run
+            # feature_embedding_{i+1} + block_0's emb stacks full-sequence
+            # and return the encodings — same param paths, same math as
+            # the in-loop chunked pass (recurrences carry state across
+            # chunks, so chunking is associativity-exact)
+            others = [
+                nn.Dense(self.hidden_dim, name=f"feature_embedding_{i + 1}")(om)
+                for i, om in enumerate(other_modals)
+            ]
+            block = MultiModalMetaformerBlock(
+                num_modal=self.modal_num,
+                main_mixer=self.main_mixer,
+                other_mixers=self.other_mixers,
+                integrate_configs=self.integrate_configs,
+                feedforward_config=self.feedforward_config,
+                encode_other_modal=True,
+                name="block_0",
+            )
+            return block(
+                None, others, None, self_masks, None,
+                encode_only=True, deterministic=deterministic,
+            )
+
+        # feature projections (reference :433-435, 486-490); with
+        # precomputed (already-encoded) others the raw streams are unused
         main = nn.Dense(self.hidden_dim, name="feature_embedding_0")(main_modal)
-        others = [
-            nn.Dense(self.hidden_dim, name=f"feature_embedding_{i + 1}")(om)
-            for i, om in enumerate(other_modals)
-        ]
+        others = (
+            []
+            if precomputed_others is not None
+            else [
+                nn.Dense(self.hidden_dim, name=f"feature_embedding_{i + 1}")(om)
+                for i, om in enumerate(other_modals)
+            ]
+        )
 
         # shared-KV decode layout: {"shared": [raw caches], "blocks": [...]}
         shared_mode = isinstance(states, dict)
@@ -200,8 +254,33 @@ class MultiModalMetaformer(nn.Module):
 
         new_states: List[BlockState] = []
         new_shared = None
+        shared_kv_pre = None
+        if precomputed_others is not None:
+            # hoisted decode: block-0's other-modality encodings were
+            # computed full-sequence up front (encode_others_only); push
+            # this step's chunk into the raw ring buffers HERE, once, and
+            # let every block (block 0 included) attend them via
+            # attend_raw — no encoder runs inside the AR loop
+            if not shared_mode:
+                raise ValueError(
+                    "precomputed_others requires the shared-KV decode "
+                    "layout (states = {'shared': ..., 'blocks': ...})"
+                )
+            new_shared = []
+            shared_kv_pre = []
+            n_others = self.modal_num - 1
+            cm = cross_masks or [None] * n_others
+            for i, enc in enumerate(precomputed_others):
+                c2, x_full, mask = raw_cache_extend(
+                    shared[i], enc, chunk_mask=cm[i]
+                )
+                new_shared.append(c2)
+                shared_kv_pre.append((x_full, mask))
+
         for layer in range(self.num_layer):
-            encode = layer == 0 or self.repeat_with_encoder
+            encode = (
+                layer == 0 and precomputed_others is None
+            ) or self.repeat_with_encoder
             block = MultiModalMetaformerBlock(
                 num_modal=self.modal_num,
                 main_mixer=self.main_mixer,
@@ -212,17 +291,27 @@ class MultiModalMetaformer(nn.Module):
                 name=f"block_{layer}",
             )
             st = None if block_states is None else block_states[layer]
+            if shared_kv_pre is not None:
+                kv_arg = shared_kv_pre
+            elif shared_mode and layer > 0:
+                kv_arg = others
+            else:
+                kv_arg = None
             y, others, new_st = block(
                 main,
                 others,
                 st,
                 self_masks,
                 cross_masks,
-                shared_state=shared if shared_mode and layer == 0 else None,
-                shared_kv=others if shared_mode and layer > 0 else None,
+                shared_state=(
+                    shared
+                    if shared_mode and layer == 0 and shared_kv_pre is None
+                    else None
+                ),
+                shared_kv=kv_arg,
                 deterministic=deterministic,
             )
-            if shared_mode and layer == 0:
+            if shared_mode and layer == 0 and shared_kv_pre is None:
                 new_shared = new_st.pop("shared")
             if self.interlayer_residual:
                 y = y + main

@@ -174,6 +174,85 @@ def test_metaformer_shared_kv_layout_matches_per_block():
     assert np.isfinite(np.asarray(int8)).all()
 
 
+def test_metaformer_hoisted_encoders_match_in_loop():
+    """The AR-decode encoder hoist (other-modality encoders run ONCE
+    full-sequence before the scan instead of chunked inside it) is an
+    exact reassociation: recurrent encoders carry state across chunks,
+    so full-sequence == chunked. In-loop and hoisted rollouts must agree
+    at highest matmul precision."""
+    cfg = dict(MF_CFG, max_context_len=100)
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(30))
+    params = jax.jit(model.init)(jax.random.PRNGKey(31), *batch[:6])
+    mask = sampling_mask_for(6, "full")
+    with jax.default_matmul_precision("highest"):
+        in_loop = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            hoist_encoders=False,
+        )
+        hoisted = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            hoist_encoders=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(in_loop), atol=1e-5
+    )
+    # the inference default (auto -> hoisted, shared bf16 caches) stays
+    # near the f32 path
+    auto = generate_metaformer(model, params, batch, mask)
+    np.testing.assert_allclose(
+        np.asarray(auto), np.asarray(in_loop), atol=5e-2
+    )
+
+
+def test_metaformer_hoisted_encoders_match_with_ring_wrap():
+    """Hoist equivalence must survive ring-buffer truncation: with a
+    context budget smaller than the rollout, slots wrap and overwrite —
+    the hoisted path extends the rings from the precomputed stream and
+    must reproduce the exact same visibility frontier."""
+    # audio budget 0.25 s x 100 Hz = 25 tokens (< 64 in the clip),
+    # motion budget 3 (< 8) — both rings wrap mid-rollout
+    cfg = dict(MF_CFG, max_context_len=0.25)
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(33), *batch[:6])
+    mask = sampling_mask_for(6, "full")
+    with jax.default_matmul_precision("highest"):
+        in_loop = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            hoist_encoders=False,
+        )
+        hoisted = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            hoist_encoders=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(in_loop), atol=1e-5
+    )
+
+
+def test_metaformer_hoist_rejects_mha_other_embeddings():
+    """mha other-modality embeddings can't be hoisted (full-sequence
+    causal visibility differs from the ring-buffer budget); auto must
+    fall back to the in-loop path and forcing must raise."""
+    cfg = dict(MF_CFG, emb_mixers=["mha", "mha", "lstm"],
+               encoder_num_layer=1)
+    model = Metaformer(cfg=cfg)
+    batch = _full_batch(jax.random.PRNGKey(34))
+    params = jax.jit(model.init)(jax.random.PRNGKey(35), *batch[:6])
+    mask = sampling_mask_for(6, "full")
+    with pytest.raises(ValueError, match="hoist_encoders"):
+        generate_metaformer(
+            model, params, batch, mask, hoist_encoders=True
+        )
+    pred = generate_metaformer(model, params, batch, mask)  # auto: in-loop
+    assert np.isfinite(np.asarray(pred)).all()
+
+
 def test_metaformer_full_generation_runs_jitted():
     model = Metaformer(cfg=MF_CFG)
     batch = _full_batch(jax.random.PRNGKey(8))
