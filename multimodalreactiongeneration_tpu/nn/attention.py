@@ -69,6 +69,11 @@ def scaled_dot_attention(
     entire row is masked (then the row degrades to a uniform average).
     """
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    if k.dtype == jnp.bfloat16 and q.dtype == jnp.float32:
+        # same dtype-matching rule as attend_raw: don't let an f32
+        # query drag a bf16 K (decode ring buffers) onto the f32 MXU
+        # path; accumulation stays f32 via preferred_element_type
+        q = q.astype(jnp.bfloat16)
     logits = jnp.einsum(
         "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -214,6 +219,16 @@ class TorchMHA(nn.Module):
         q_fold = jnp.einsum("bhld,hdk->bhlk", qh, wk_h)
 
         scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+        if raw.dtype == jnp.bfloat16:
+            # match operand dtypes: an f32 query against a bf16 cache
+            # promotes the WHOLE S-length matmul to the multi-pass f32
+            # MXU path (~4x slower). bf16 x bf16 with f32 accumulation
+            # is the intended mixed-precision contract of the bf16
+            # cache; f32 caches keep the exact f32 matmul (parity
+            # tests pin cache_dtype=f32). Measured: the 10 ring-buffer
+            # attentions of the decode step drop ~24 -> ~11 ms per
+            # 250-step generation on v5e.
+            q_fold = q_fold.astype(jnp.bfloat16)
         logits = jnp.einsum(
             "bhlk,bsk->bhls", q_fold, raw,
             preferred_element_type=jnp.float32,

@@ -206,8 +206,14 @@ def test_serving_over_mesh():
 
     model, params = _model_and_params()
     mesh = make_mesh(8)
-    local = ServingEngine(model, params, slots=8)
-    sharded = ServingEngine(model, params, slots=8, mesh=mesh)
+    # f32 caches: this asserts SHARDING equivalence, and the bf16
+    # attention path (bf16 q x bf16 cache since the MXU operand-dtype
+    # fix) reassociates reductions differently per partition shape —
+    # ~1e-5 ULP noise, same rationale as test_sharded_decode
+    local = ServingEngine(model, params, slots=8,
+                          cache_dtype=jnp.float32)
+    sharded = ServingEngine(model, params, slots=8, mesh=mesh,
+                            cache_dtype=jnp.float32)
 
     # the pool is genuinely distributed: slot-axis leaves span all devices
     leaf = jax.tree_util.tree_leaves(sharded._states)[0]
