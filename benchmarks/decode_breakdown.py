@@ -60,8 +60,17 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *batch[:6])
     mask = sampling_mask_for(STEPS, "full")
 
-    full = jax.jit(lambda p, b: generate_metaformer(model, p, b, mask))
+    # component scans decompose the XLA (non-fused) step; the fused
+    # Pallas rollout (ops/pallas_decode_rollout.py) is timed as its own
+    # row since it has no XLA components to decompose
+    full = jax.jit(lambda p, b: generate_metaformer(
+        model, p, b, mask, fused_rollout=False
+    ))
     dt_full = bench.time_decode(full, params, batch)
+    fused = jax.jit(lambda p, b: generate_metaformer(
+        model, p, b, mask, fused_rollout="auto"
+    ))
+    dt_fused = bench.time_decode(fused, params, batch)
 
     # --- attention-only scan (same shapes as the production step) -----
     mha = TorchMHA(embed_dim=H, num_heads=HEADS, kdim=H, vdim=H)
@@ -138,12 +147,14 @@ def main():
         "metric": "decode_breakdown_ms_per_generation",
         "batch": B,
         "full_ms": round(dt_full * 1e3, 1),
+        "fused_rollout_ms": round(dt_fused * 1e3, 1),
         "attention_ms": round(dt_attn * 1e3, 1),
         "audio_encoder_ms": round(dt_audio * 1e3, 1),
         "main_chain_residual_ms": round(
             (dt_full - dt_attn - dt_audio) * 1e3, 1
         ),
         "frames_per_sec": round(B * STEPS / dt_full, 1),
+        "fused_frames_per_sec": round(B * STEPS / dt_fused, 1),
     }))
 
 

@@ -247,6 +247,135 @@ def _init_metaformer_states(
     return states
 
 
+def _fused_rollout_supported(cfg: dict, cache_dtype, ratio: int) -> bool:
+    """Config shapes the fused Pallas rollout kernel handles
+    (ops/pallas_decode_rollout.py docstring lists the contract)."""
+    others = list(cfg["modalities"])
+    others.pop(cfg["main_modal_idx"])
+    budgets = context_budgets(cfg)
+    sizes = mf_sizes(cfg)
+    return (
+        cfg["emb_mixers"][cfg["main_modal_idx"]] == "lstm"
+        and cfg["num_layerd"] == 1
+        and cfg["num_internal_layer"] == 1
+        and cfg["nonlinearity"] in (None, "none")
+        and cfg["ffn_nonlinearity"] == "relu"
+        and bool(cfg["residual"])
+        and bool(cfg["residual_layer_norm"])
+        and bool(cfg["bias"])
+        and not cfg["interlayer_residual"]
+        and cache_dtype in (jnp.bfloat16, jnp.float32)
+        and others == ["audio", "motion"]
+        and cfg["hidden_size"] % cfg["num_heads"] == 0
+        and ratio % 8 == 0
+        and budgets[0] % ratio == 0
+        and sizes["motion_input_size"] <= 128
+    )
+
+
+def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio) -> bool:
+    """"auto" -> fused when the config is supported AND we're on TPU
+    (MRGEN_FUSED_DECODE=1/0 overrides the backend gate — tests force
+    the interpret-mode kernel on CPU; pods that can't run Mosaic
+    kernels can pin it off)."""
+    import os
+
+    if fused_rollout is False:
+        return False
+    ok = _fused_rollout_supported(cfg, cache_dtype, ratio)
+    if fused_rollout is True:
+        if not ok:
+            raise ValueError(
+                "fused_rollout=True but the model config is outside the "
+                "fused kernel's contract (see "
+                "ops/pallas_decode_rollout.py)"
+            )
+        return True
+    env = os.environ.get("MRGEN_FUSED_DECODE", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return ok
+    # auto on TPU: bf16 caches only. The f32-cache variant exceeds v5e
+    # VMEM at the production size (measured 2026-08-19: 129 MB of
+    # 128 MB, 71.6 MB of it register-allocator spill slots) — it stays
+    # reachable explicitly (fused_rollout=True / env=1) for parity
+    # tests and smaller shapes.
+    return (
+        ok
+        and jax.default_backend() == "tpu"
+        and cache_dtype == jnp.bfloat16
+    )
+
+
+def _fused_rollout(
+    cfg, params, states, enc_a_steps, enc_mp_steps, ms, sampling_mask,
+    cache_dtype, len_a0: int, len_m0: int,
+) -> jnp.ndarray:
+    """Hand off the post-priming rollout to the fused Pallas kernel."""
+    from multimodalreactiongeneration_tpu.ops.pallas_decode_rollout import (
+        decode_rollout,
+        fold_decode_params,
+    )
+
+    import os
+
+    heads = cfg["num_heads"]
+    ratio = enc_a_steps.shape[2]
+    # matmul-panel dtype follows the cache dtype (bf16 production, f32
+    # parity tests); MRGEN_FUSED_MM=f32 keeps the main-chain/attention
+    # weight panels f32 under bf16 caches (numerics escape hatch)
+    mm_dtype = (
+        jnp.bfloat16 if cache_dtype == jnp.bfloat16 else jnp.float32
+    )
+    if os.environ.get("MRGEN_FUSED_MM") == "f32":
+        mm_dtype = jnp.float32
+    folded = fold_decode_params(
+        params, cfg["num_block"], heads, mm_dtype=mm_dtype
+    )
+
+    ca0 = states["shared"][0]["x"]
+    cm0 = states["shared"][1]["x"]
+    bud_m = cm0.shape[1]
+    pad_m = (-bud_m) % 8
+    if pad_m:
+        # motion ring storage lane-pads to a sublane multiple; padded
+        # slots sit past the budget and stay masked forever
+        cm0 = jnp.pad(cm0, ((0, 0), (0, pad_m), (0, 0)))
+    h0 = jnp.stack(
+        [states["blocks"][l]["emb"][0][0][0][0]
+         for l in range(cfg["num_block"])]
+    ).astype(jnp.float32)
+    c0 = jnp.stack(
+        [states["blocks"][l]["emb"][0][0][1][0]
+         for l in range(cfg["num_block"])]
+    ).astype(jnp.float32)
+
+    w0 = folded["emb0_w"]
+    b0 = folded["emb0_b"]
+    gt_emb = (ms[:, :, 0, :] @ w0 + b0).astype(jnp.float32)
+    main0 = (ms[0][:, 0, :] @ w0 + b0).astype(jnp.float32)
+
+    ys = decode_rollout(
+        folded,
+        ca0,
+        cm0,
+        h0,
+        c0,
+        main0,
+        enc_a_steps.astype(ca0.dtype),
+        enc_mp_steps[:, :, 0, :].astype(cm0.dtype),
+        gt_emb,
+        sampling_mask.astype(jnp.float32),
+        heads=heads,
+        ratio=ratio,
+        len_a0=len_a0,
+        len_m0=len_m0,
+        bud_m=bud_m,
+    )
+    return ys.transpose(1, 0, 2)
+
+
 def generate_metaformer(
     model,
     params,
@@ -256,6 +385,7 @@ def generate_metaformer(
     unroll: int = 5,
     kv_layout: str = "shared",
     hoist_encoders="auto",
+    fused_rollout="auto",
 ) -> jnp.ndarray:
     """Rollout for the Metaformer with KV ring-buffer caches.
 
@@ -351,6 +481,14 @@ def generate_metaformer(
                 "non-mha other-modality embeddings "
                 f"(kv_layout={kv_layout!r}, emb types {other_types})"
             )
+    if fused_rollout is True and not hoist:
+        # the fused kernel consumes the hoisted encodings + shared
+        # rings; forcing it on a non-hoistable config must not silently
+        # fall back to the scan
+        raise ValueError(
+            "fused_rollout=True needs the hoisted shared-KV path "
+            f"(kv_layout={kv_layout!r}, hoist_encoders={hoist_encoders!r})"
+        )
 
     if hoist:
         # one full-sequence pass over the known input streams produces
@@ -377,6 +515,12 @@ def generate_metaformer(
             params, lead_a, lead_mp, lead_ms, states=states, use_masks=True,
             precomputed_others=[enc_a[:, :la], enc_mp[:, :lm]],
         )
+
+        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio):
+            return _fused_rollout(
+                cfg, params, states, enc_a_steps, enc_mp_steps, ms,
+                sampling_mask, cache_dtype, la, lm,
+            )
 
         def step(carry, xs):
             prev, st = carry

@@ -109,6 +109,100 @@ def shard_batch_dim(
     return wrapped
 
 
+def make_sharding_rule(arg_dims, out_dims) -> str:
+    """Autogenerate a Shardy rule string for `shard_any_dim`.
+
+    arg_dims / out_dims: sequences of (ndim, batch_dim-or-None). The
+    batch dim maps to the shared factor ``b``; every other dim gets a
+    fresh private factor (multi-char factor names are valid Shardy
+    grammar)."""
+
+    def term(prefix, i, nd, dim):
+        return " ".join(
+            "b" if j == dim else f"{prefix}{i}_{j}" for j in range(nd)
+        )
+
+    lhs = ", ".join(
+        term("a", i, nd, d) for i, (nd, d) in enumerate(arg_dims)
+    )
+    rhs = ", ".join(
+        term("o", i, nd, d) for i, (nd, d) in enumerate(out_dims)
+    )
+    return f"{lhs} -> {rhs}"
+
+
+def shard_any_dim(
+    fn: Callable,
+    arg_batch_dims: Sequence,
+    out_batch_dims: Sequence,
+    sharding_rule: str = None,
+):
+    """`shard_batch_dim` generalized to a per-operand batch-dim index.
+
+    The decode-rollout kernel (ops/pallas_decode_rollout.py) carries the
+    batch at dim 0 (caches), dim 1 (per-step streams (T, B, ...) and
+    stacked LSTM state (NB, B, H)) or nowhere (weights, the sampling
+    mask) — `shard_batch_dim`'s dim-0 assumption doesn't fit, so this
+    variant takes explicit dim indices.
+
+    arg_batch_dims / out_batch_dims: one entry per (flat) operand /
+    output — the dimension holding the batch, or None for replicated.
+    sharding_rule: Shardy rule string; build with `make_sharding_rule`.
+    """
+    arg_batch_dims = tuple(arg_batch_dims)
+    out_batch_dims = tuple(out_batch_dims)
+
+    wrapped = custom_partitioning(fn)
+
+    def _axis(arg_shapes):
+        for i, d in enumerate(arg_batch_dims):
+            if d is None:
+                continue
+            spec = getattr(arg_shapes[i].sharding, "spec", None)
+            if spec and len(spec) > d and spec[d] is not None:
+                return spec[d]
+        return None
+
+    def _spec(nd, dim, axis):
+        parts = [None] * nd
+        if axis is not None and dim is not None:
+            parts[dim] = axis
+        return P(*parts)
+
+    def _shardings(mesh, arg_shapes, result_shape, axis):
+        args = tuple(
+            NamedSharding(mesh, _spec(len(s.shape), d, axis))
+            for s, d in zip(arg_shapes, arg_batch_dims)
+        )
+        flat_res, treedef = jax.tree_util.tree_flatten(result_shape)
+        res = [
+            NamedSharding(mesh, _spec(len(s.shape), d, axis))
+            for s, d in zip(flat_res, out_batch_dims)
+        ]
+        return args, jax.tree_util.tree_unflatten(treedef, res)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        _, res = _shardings(
+            mesh, arg_shapes, result_shape, _axis(arg_shapes)
+        )
+        return res
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _axis(arg_shapes)
+        arg_sh, res_sh = _shardings(mesh, arg_shapes, result_shape, axis)
+        return mesh, fn, res_sh, arg_sh
+
+    kwargs = {}
+    if sharding_rule is not None:
+        kwargs["sharding_rule"] = sharding_rule
+    wrapped.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        **kwargs,
+    )
+    return wrapped
+
+
 def chunk_t(batch: int) -> int:
     """Time-chunk length for the recurrence kernels, scaled to batch.
 
