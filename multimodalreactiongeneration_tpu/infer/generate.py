@@ -273,7 +273,25 @@ def _fused_rollout_supported(cfg: dict, cache_dtype, ratio: int) -> bool:
     )
 
 
-def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio) -> bool:
+def _fused_vmem_estimate(cfg, batch: int, cache_dtype) -> int:
+    """Raw resident-VMEM bytes of the fused rollout kernel: the folded
+    weight panels (~37*NB*H^2 params per the fold in
+    ops/pallas_decode_rollout.py: 8 wih/whh + 1 emb FFN + 16 attention
+    q/out + 4 integrator FFNs + 2 cat + 8 block FFN) + the ring caches
+    TWICE (pallas input window + persistent scratch). Streams, biases,
+    LN params and activations are noise at these sizes. Mosaic's
+    register-spill slots roughly double this raw figure — the auto
+    gate's threshold bakes that in (see _resolve_fused)."""
+    H = cfg["hidden_size"]
+    itemsize = jnp.dtype(cache_dtype).itemsize
+    budgets = context_budgets(cfg)
+    slots = sum(b + (-b) % 8 for b in budgets)
+    panels = 37 * cfg["num_block"] * H * H * itemsize
+    caches = 2 * batch * slots * H * itemsize
+    return panels + caches
+
+
+def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch) -> bool:
     """"auto" -> fused when the config is supported AND we're on TPU
     (MRGEN_FUSED_DECODE=1/0 overrides the backend gate — tests force
     the interpret-mode kernel on CPU; pods that can't run Mosaic
@@ -296,15 +314,21 @@ def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio) -> bool:
         return False
     if env == "1":
         return ok
-    # auto on TPU: bf16 caches only. The f32-cache variant exceeds v5e
-    # VMEM at the production size (measured 2026-08-19: 129 MB of
-    # 128 MB, 71.6 MB of it register-allocator spill slots) — it stays
-    # reachable explicitly (fused_rollout=True / env=1) for parity
-    # tests and smaller shapes.
+    # auto on TPU: bf16 caches only, and only when the kernel's
+    # VMEM-resident working set (folded weight panels + 2x ring caches:
+    # input copy + scratch) fits. Empirical v5e anchors (2026-08-19, all
+    # at the production config): est 43 MB (b16 bf16) and 62 MB (b32
+    # bf16) compile and run; est 86 MB (b16 all-f32) and 98 MB (b64
+    # bf16) fail Mosaic compile at 128 MB physical VMEM — register-
+    # allocator spill slots roughly double the raw estimate. 72 MB
+    # splits the measured pass/fail bands. Over-budget configs fall
+    # back to the XLA scan; fused_rollout=True / env=1 still force.
+    if cache_dtype != jnp.bfloat16:
+        return False
     return (
         ok
         and jax.default_backend() == "tpu"
-        and cache_dtype == jnp.bfloat16
+        and _fused_vmem_estimate(cfg, batch, cache_dtype) <= 72 * 2 ** 20
     )
 
 
@@ -516,7 +540,7 @@ def generate_metaformer(
             precomputed_others=[enc_a[:, :la], enc_mp[:, :lm]],
         )
 
-        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio):
+        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch):
             return _fused_rollout(
                 cfg, params, states, enc_a_steps, enc_mp_steps, ms,
                 sampling_mask, cache_dtype, la, lm,

@@ -106,6 +106,22 @@ def test_fused_rollout_gate():
                             kv_layout="per_block", fused_rollout=True)
 
 
+def test_fused_auto_gate_respects_vmem_budget(monkeypatch):
+    # empirical v5e anchors: b16/b32 bf16 compile, b64 bf16 and b16
+    # all-f32 exceed 128 MB VMEM (register spills) — auto must fall
+    # back to the scan instead of surfacing a Mosaic compile error
+    from multimodalreactiongeneration_tpu.infer import generate as G
+    import bench
+
+    monkeypatch.setenv("MRGEN_FUSED_DECODE", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = bench.BENCH_CFG
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32)
+    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 64)
+    assert not G._resolve_fused("auto", cfg, jnp.float32, 8, 16)
+
+
 def test_fused_rollout_sharded_matches_unsharded():
     # GSPMD can't auto-partition a Mosaic custom call; shard_any_dim
     # (ops/partitioning.py) partitions the rollout over the batch with
