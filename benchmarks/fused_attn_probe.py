@@ -15,11 +15,9 @@ exactness vs the model (the fused rollout kernel, if the probe wins,
 is the product follow-up). Prints one JSON line with both ms.
 """
 
-import functools
 import json
 import sys
 import os
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -176,7 +174,6 @@ def main():
 
     ys_s = scan_j(params, (q0,))
     ys_f = fused_j(params, (q0,))
-    import numpy as np
     err = float(jnp.max(jnp.abs(ys_s - ys_f)))
     rel = err / (float(jnp.max(jnp.abs(ys_s))) + 1e-9)
 

@@ -43,6 +43,14 @@ def main():
                     "the per-step HBM param traffic; drift-bounding "
                     "tests in tests/test_generate.py gate any default "
                     "change)")
+    ap.add_argument("--fused", default="auto",
+                    choices=["auto", "off"],
+                    help="fused Pallas rollout: 'auto' measures the "
+                    "production default (bf16+shared rows may route "
+                    "through ops/pallas_decode_rollout.py — each row's "
+                    "'fused' field says which path actually ran, so "
+                    "layout/dtype comparisons stay attributable); "
+                    "'off' pins every row to the XLA scan")
     args = ap.parse_args()
 
     import jax
@@ -76,12 +84,27 @@ def main():
         for name in args.dtypes:
             layouts = ["per_block"] if name == "int8" else args.layouts
             for layout in layouts:
+                fused = False if args.fused == "off" else "auto"
                 decode = jax.jit(
                     lambda p, bt, d=dt[name], lay=layout: generate_metaformer(
                         model, p, bt, mask, cache_dtype=d, kv_layout=lay,
-                        hoist_encoders=hoist,
+                        hoist_encoders=hoist, fused_rollout=fused,
                     )
                 )
+                # report which path "auto" actually resolved to (shared
+                # bf16 rows may run the fused kernel; attributing its
+                # speedup to the layout axis would corrupt comparisons)
+                from multimodalreactiongeneration_tpu.infer.generate import (
+                    _resolve_fused,
+                )
+                from multimodalreactiongeneration_tpu.models.lstmformer import (
+                    derived_sizes,
+                )
+                ratio = derived_sizes(bench.BENCH_CFG)["ratio"]
+                fused_ran = bool(fused) and bool(hoist) and \
+                    layout == "shared" and \
+                    _resolve_fused(fused, bench.BENCH_CFG, dt[name],
+                                   ratio, b, batch[3].shape[1])
                 try:
                     dt_step = bench.time_decode(decode, params, batch)
                 except Exception as exc:  # noqa: BLE001 — keep sweeping
@@ -98,6 +121,7 @@ def main():
                     "layout": layout,
                     "hoist": args.hoist,
                     "params": args.param_dtype,
+                    "fused": fused_ran,
                     "value": round(b * frames / dt_step, 1),
                 }), flush=True)
 

@@ -247,9 +247,19 @@ def _init_metaformer_states(
     return states
 
 
-def _fused_rollout_supported(cfg: dict, cache_dtype, ratio: int) -> bool:
+def _fused_rollout_supported(
+    cfg: dict, cache_dtype, ratio: int, len_a0: int
+) -> bool:
     """Config shapes the fused Pallas rollout kernel handles
-    (ops/pallas_decode_rollout.py docstring lists the contract)."""
+    (ops/pallas_decode_rollout.py docstring lists the contract).
+
+    len_a0 (the primed audio-ring length) must be ratio-aligned: the
+    kernel's contiguous `pl.ds(off_a, ratio)` ring write and its
+    `pl.multiple_of(off_a, 8)` alignment promise are only sound when
+    every write offset stays a ratio multiple — a misaligned priming
+    segment would silently miscompile addresses on real TPU (the XLA
+    scan handles it via elementwise modular scatter, so unsupported
+    shapes just stay on that path)."""
     others = list(cfg["modalities"])
     others.pop(cfg["main_modal_idx"])
     budgets = context_budgets(cfg)
@@ -269,29 +279,53 @@ def _fused_rollout_supported(cfg: dict, cache_dtype, ratio: int) -> bool:
         and cfg["hidden_size"] % cfg["num_heads"] == 0
         and ratio % 8 == 0
         and budgets[0] % ratio == 0
+        and len_a0 % ratio == 0
         and sizes["motion_input_size"] <= 128
     )
 
 
-def _fused_vmem_estimate(cfg, batch: int, cache_dtype) -> int:
+def _fused_vmem_estimate(cfg, batch: int, cache_dtype, mm_dtype) -> int:
     """Raw resident-VMEM bytes of the fused rollout kernel: the folded
-    weight panels (~37*NB*H^2 params per the fold in
-    ops/pallas_decode_rollout.py: 8 wih/whh + 1 emb FFN + 16 attention
-    q/out + 4 integrator FFNs + 2 cat + 8 block FFN) + the ring caches
-    TWICE (pallas input window + persistent scratch). Streams, biases,
-    LN params and activations are noise at these sizes. Mosaic's
-    register-spill slots roughly double this raw figure — the auto
-    gate's threshold bakes that in (see _resolve_fused)."""
+    weight panels ((21 + 4*heads)*NB*H^2 params per the fold in
+    ops/pallas_decode_rollout.py: 8 wih/whh + 1 emb FFN + heads*H^2 per
+    attention q/out side x 2 sides x 2 modalities + 2 integrator FFNs
+    + 2 cat + 8 block FFN; bottleneck head panels are noise) + the ring
+    caches TWICE (pallas input window + persistent scratch). Panels are
+    sized at mm_dtype — the MRGEN_FUSED_MM=f32 escape hatch doubles
+    them. Streams, biases, LN params and activations are noise at
+    these sizes. Mosaic's register-spill slots roughly double this raw
+    figure — the auto gate's threshold bakes that in (_resolve_fused).
+
+    Caveat: under a batch-sharded mesh this sees the GLOBAL batch at
+    trace time (operand shardings aren't knowable here), so auto may
+    decline a global batch whose per-chip shard would fit —
+    MRGEN_FUSED_DECODE=1 bypasses the estimate for that case."""
     H = cfg["hidden_size"]
-    itemsize = jnp.dtype(cache_dtype).itemsize
     budgets = context_budgets(cfg)
     slots = sum(b + (-b) % 8 for b in budgets)
-    panels = 37 * cfg["num_block"] * H * H * itemsize
-    caches = 2 * batch * slots * H * itemsize
+    panels = (
+        (21 + 4 * cfg["num_heads"]) * cfg["num_block"] * H * H
+        * jnp.dtype(mm_dtype).itemsize
+    )
+    caches = 2 * batch * slots * H * jnp.dtype(cache_dtype).itemsize
     return panels + caches
 
 
-def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch) -> bool:
+def _fused_mm_dtype(cache_dtype):
+    """Matmul-panel dtype: follows the cache dtype (bf16 production,
+    f32 parity tests); MRGEN_FUSED_MM=f32 keeps the weight panels f32
+    under bf16 caches (numerics escape hatch, ~1.4x slower)."""
+    import os
+
+    mm = jnp.bfloat16 if cache_dtype == jnp.bfloat16 else jnp.float32
+    if os.environ.get("MRGEN_FUSED_MM") == "f32":
+        mm = jnp.float32
+    return mm
+
+
+def _resolve_fused(
+    fused_rollout, cfg, cache_dtype, ratio, batch, len_a0
+) -> bool:
     """"auto" -> fused when the config is supported AND we're on TPU
     (MRGEN_FUSED_DECODE=1/0 overrides the backend gate — tests force
     the interpret-mode kernel on CPU; pods that can't run Mosaic
@@ -300,7 +334,7 @@ def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch) -> bool:
 
     if fused_rollout is False:
         return False
-    ok = _fused_rollout_supported(cfg, cache_dtype, ratio)
+    ok = _fused_rollout_supported(cfg, cache_dtype, ratio, len_a0)
     if fused_rollout is True:
         if not ok:
             raise ValueError(
@@ -325,10 +359,13 @@ def _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch) -> bool:
     # back to the XLA scan; fused_rollout=True / env=1 still force.
     if cache_dtype != jnp.bfloat16:
         return False
+    est = _fused_vmem_estimate(
+        cfg, batch, cache_dtype, _fused_mm_dtype(cache_dtype)
+    )
     return (
         ok
         and jax.default_backend() == "tpu"
-        and _fused_vmem_estimate(cfg, batch, cache_dtype) <= 72 * 2 ** 20
+        and est <= 72 * 2 ** 20
     )
 
 
@@ -342,20 +379,11 @@ def _fused_rollout(
         fold_decode_params,
     )
 
-    import os
-
     heads = cfg["num_heads"]
     ratio = enc_a_steps.shape[2]
-    # matmul-panel dtype follows the cache dtype (bf16 production, f32
-    # parity tests); MRGEN_FUSED_MM=f32 keeps the main-chain/attention
-    # weight panels f32 under bf16 caches (numerics escape hatch)
-    mm_dtype = (
-        jnp.bfloat16 if cache_dtype == jnp.bfloat16 else jnp.float32
-    )
-    if os.environ.get("MRGEN_FUSED_MM") == "f32":
-        mm_dtype = jnp.float32
     folded = fold_decode_params(
-        params, cfg["num_block"], heads, mm_dtype=mm_dtype
+        params, cfg["num_block"], heads,
+        mm_dtype=_fused_mm_dtype(cache_dtype),
     )
 
     ca0 = states["shared"][0]["x"]
@@ -540,7 +568,8 @@ def generate_metaformer(
             precomputed_others=[enc_a[:, :la], enc_mp[:, :lm]],
         )
 
-        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch):
+        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch,
+                          la):
             return _fused_rollout(
                 cfg, params, states, enc_a_steps, enc_mp_steps, ms,
                 sampling_mask, cache_dtype, la, lm,

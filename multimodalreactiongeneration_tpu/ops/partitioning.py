@@ -24,16 +24,6 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _batch_axis(arg_shapes, batch_args: Sequence[int]):
-    """The mesh axis (or axis tuple) the batch dim is sharded over."""
-    for i in batch_args:
-        sharding = arg_shapes[i].sharding
-        spec = getattr(sharding, "spec", None)
-        if spec and len(spec) > 0 and spec[0] is not None:
-            return spec[0]
-    return None
-
-
 def shard_batch_dim(
     fn: Callable,
     batch_args: Sequence[int],
@@ -42,6 +32,9 @@ def shard_batch_dim(
     sharding_rule: str = None,
 ):
     """Wrap ``fn`` so pjit shards it over the batch dimension.
+
+    The dim-0 special case of `shard_any_dim` (the RNN kernels carry
+    batch at dim 0 everywhere).
 
     batch_args: positions of args whose dim 0 is the batch (everything
     else is treated as replicated — weights/biases).
@@ -52,61 +45,15 @@ def shard_batch_dim(
     Shardy partitioner, e.g. "b t g, h g, b h, b h -> b t h, b h");
     the shared leading factor must be the batch.
     """
-    batch_args = tuple(batch_args)
+    batch_args = frozenset(batch_args)
     out_is_batched = tuple(out_is_batched)
-    reduce_outs = tuple(reduce_outs)
-
-    wrapped = custom_partitioning(fn)
-
-    def _shardings(mesh, arg_shapes, result_shape, axis):
-        def arg_spec(i, shape):
-            nd = len(shape.shape)
-            if axis is not None and i in batch_args:
-                return NamedSharding(mesh, P(axis, *([None] * (nd - 1))))
-            return NamedSharding(mesh, P(*([None] * nd)))
-
-        args = tuple(
-            arg_spec(i, s) for i, s in enumerate(arg_shapes)
-        )
-        flat_res, treedef = jax.tree_util.tree_flatten(result_shape)
-        res = []
-        for j, s in enumerate(flat_res):
-            nd = len(s.shape)
-            if axis is not None and out_is_batched[j]:
-                res.append(NamedSharding(mesh, P(axis, *([None] * (nd - 1)))))
-            else:
-                res.append(NamedSharding(mesh, P(*([None] * nd))))
-        return args, jax.tree_util.tree_unflatten(treedef, res)
-
-    def infer_sharding(mesh, arg_shapes, result_shape):
-        axis = _batch_axis(arg_shapes, batch_args)
-        _, res = _shardings(mesh, arg_shapes, result_shape, axis)
-        return res
-
-    def partition(mesh, arg_shapes, result_shape):
-        axis = _batch_axis(arg_shapes, batch_args)
-        arg_sh, res_sh = _shardings(mesh, arg_shapes, result_shape, axis)
-
-        def lower_fn(*args):
-            out = fn(*args)
-            if axis is not None and reduce_outs:
-                flat, treedef = jax.tree_util.tree_flatten(out)
-                for j in reduce_outs:
-                    flat[j] = jax.lax.psum(flat[j], axis)
-                out = jax.tree_util.tree_unflatten(treedef, flat)
-            return out
-
-        return mesh, lower_fn, res_sh, arg_sh
-
-    kwargs = {}
-    if sharding_rule is not None:
-        kwargs["sharding_rule"] = sharding_rule
-    wrapped.def_partition(
-        infer_sharding_from_operands=infer_sharding,
-        partition=partition,
-        **kwargs,
+    return shard_any_dim(
+        fn,
+        lambda i: 0 if i in batch_args else None,
+        lambda j: 0 if out_is_batched[j] else None,
+        reduce_outs=reduce_outs,
+        sharding_rule=sharding_rule,
     )
-    return wrapped
 
 
 def make_sharding_rule(arg_dims, out_dims) -> str:
@@ -133,32 +80,42 @@ def make_sharding_rule(arg_dims, out_dims) -> str:
 
 def shard_any_dim(
     fn: Callable,
-    arg_batch_dims: Sequence,
-    out_batch_dims: Sequence,
+    arg_batch_dims,
+    out_batch_dims,
+    reduce_outs: Sequence[int] = (),
     sharding_rule: str = None,
 ):
-    """`shard_batch_dim` generalized to a per-operand batch-dim index.
+    """Per-operand batch-dim custom_partitioning (the general core).
 
     The decode-rollout kernel (ops/pallas_decode_rollout.py) carries the
     batch at dim 0 (caches), dim 1 (per-step streams (T, B, ...) and
     stacked LSTM state (NB, B, H)) or nowhere (weights, the sampling
-    mask) — `shard_batch_dim`'s dim-0 assumption doesn't fit, so this
-    variant takes explicit dim indices.
+    mask); the RNN kernels carry it at dim 0 everywhere
+    (`shard_batch_dim`, a thin delegate of this function).
 
     arg_batch_dims / out_batch_dims: one entry per (flat) operand /
     output — the dimension holding the batch, or None for replicated.
+    Either a sequence or a Callable[[index], dim-or-None].
+    reduce_outs: flat output positions that are SUMS over the batch
+    (weight grads) — psum'd over the batch axis in the lowering.
     sharding_rule: Shardy rule string; build with `make_sharding_rule`.
     """
-    arg_batch_dims = tuple(arg_batch_dims)
-    out_batch_dims = tuple(out_batch_dims)
+    if not callable(arg_batch_dims):
+        _ad = tuple(arg_batch_dims)
+        arg_batch_dims = lambda i: _ad[i]  # noqa: E731
+    if not callable(out_batch_dims):
+        _od = tuple(out_batch_dims)
+        out_batch_dims = lambda j: _od[j]  # noqa: E731
+    reduce_outs = tuple(reduce_outs)
 
     wrapped = custom_partitioning(fn)
 
     def _axis(arg_shapes):
-        for i, d in enumerate(arg_batch_dims):
+        for i, s in enumerate(arg_shapes):
+            d = arg_batch_dims(i)
             if d is None:
                 continue
-            spec = getattr(arg_shapes[i].sharding, "spec", None)
+            spec = getattr(s.sharding, "spec", None)
             if spec and len(spec) > d and spec[d] is not None:
                 return spec[d]
         return None
@@ -171,13 +128,13 @@ def shard_any_dim(
 
     def _shardings(mesh, arg_shapes, result_shape, axis):
         args = tuple(
-            NamedSharding(mesh, _spec(len(s.shape), d, axis))
-            for s, d in zip(arg_shapes, arg_batch_dims)
+            NamedSharding(mesh, _spec(len(s.shape), arg_batch_dims(i), axis))
+            for i, s in enumerate(arg_shapes)
         )
         flat_res, treedef = jax.tree_util.tree_flatten(result_shape)
         res = [
-            NamedSharding(mesh, _spec(len(s.shape), d, axis))
-            for s, d in zip(flat_res, out_batch_dims)
+            NamedSharding(mesh, _spec(len(s.shape), out_batch_dims(j), axis))
+            for j, s in enumerate(flat_res)
         ]
         return args, jax.tree_util.tree_unflatten(treedef, res)
 
@@ -190,7 +147,17 @@ def shard_any_dim(
     def partition(mesh, arg_shapes, result_shape):
         axis = _axis(arg_shapes)
         arg_sh, res_sh = _shardings(mesh, arg_shapes, result_shape, axis)
-        return mesh, fn, res_sh, arg_sh
+
+        def lower_fn(*args):
+            out = fn(*args)
+            if axis is not None and reduce_outs:
+                flat, treedef = jax.tree_util.tree_flatten(out)
+                for j in reduce_outs:
+                    flat[j] = jax.lax.psum(flat[j], axis)
+                out = jax.tree_util.tree_unflatten(treedef, flat)
+            return out
+
+        return mesh, lower_fn, res_sh, arg_sh
 
     kwargs = {}
     if sharding_rule is not None:

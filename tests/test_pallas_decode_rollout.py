@@ -116,10 +116,18 @@ def test_fused_auto_gate_respects_vmem_budget(monkeypatch):
     monkeypatch.setenv("MRGEN_FUSED_DECODE", "auto")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg = bench.BENCH_CFG
-    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16)
-    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32)
-    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 64)
-    assert not G._resolve_fused("auto", cfg, jnp.float32, 8, 16)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96)
+    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 64, 96)
+    assert not G._resolve_fused("auto", cfg, jnp.float32, 8, 16, 96)
+    # misaligned priming length: the kernel's contiguous ring write
+    # needs len_a0 % ratio == 0 — unaligned stays on the scan
+    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 100)
+    # MRGEN_FUSED_MM=f32 doubles the panel bytes: batch 32 then
+    # lands in the measured compile-fail band and must fall back
+    monkeypatch.setenv("MRGEN_FUSED_MM", "f32")
+    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96)
 
 
 def test_fused_rollout_sharded_matches_unsharded():
