@@ -323,17 +323,42 @@ def _fused_mm_dtype(cache_dtype):
     return mm
 
 
+def _fused_batch_chunk(cfg, batch: int, cache_dtype) -> int:
+    """Largest batch slice whose fused working set fits the VMEM gate.
+
+    Returns a divisor of ``batch`` (the whole batch when it fits, else
+    the largest sublane-aligned divisor whose estimate clears the
+    budget — the rollout is embarrassingly parallel over dialogs, so
+    `_fused_rollout` just runs the kernel once per slice), or 0 when no
+    slice fits (caller falls back to the XLA scan). Sub-batch slices
+    must be multiples of 8: the batch is a block second-minor dim in
+    the kernel and Mosaic pads misaligned sublanes per slice."""
+    budget = 72 * 2 ** 20
+    mm = _fused_mm_dtype(cache_dtype)
+    if _fused_vmem_estimate(cfg, batch, cache_dtype, mm) <= budget:
+        return batch
+    for d in range(batch - 8, 0, -8):
+        if batch % d == 0 and \
+                _fused_vmem_estimate(cfg, d, cache_dtype, mm) <= budget:
+            return d
+    return 0
+
+
 def _resolve_fused(
     fused_rollout, cfg, cache_dtype, ratio, batch, len_a0
-) -> bool:
+) -> int:
     """"auto" -> fused when the config is supported AND we're on TPU
     (MRGEN_FUSED_DECODE=1/0 overrides the backend gate — tests force
     the interpret-mode kernel on CPU; pods that can't run Mosaic
-    kernels can pin it off)."""
+    kernels can pin it off).
+
+    Returns the batch-slice size the kernel should run at — ``batch``
+    for one call, smaller for a VMEM-bound chunked rollout — or 0 for
+    the XLA scan."""
     import os
 
     if fused_rollout is False:
-        return False
+        return 0
     ok = _fused_rollout_supported(cfg, cache_dtype, ratio, len_a0)
     if fused_rollout is True:
         if not ok:
@@ -342,38 +367,45 @@ def _resolve_fused(
                 "fused kernel's contract (see "
                 "ops/pallas_decode_rollout.py)"
             )
-        return True
+        return batch
     env = os.environ.get("MRGEN_FUSED_DECODE", "auto")
     if env == "0":
-        return False
+        return 0
     if env == "1":
-        return ok
-    # auto on TPU: bf16 caches only, and only when the kernel's
-    # VMEM-resident working set (folded weight panels + 2x ring caches:
-    # input copy + scratch) fits. Empirical v5e anchors (2026-08-19, all
-    # at the production config): est 43 MB (b16 bf16) and 62 MB (b32
-    # bf16) compile and run; est 86 MB (b16 all-f32) and 98 MB (b64
-    # bf16) fail Mosaic compile at 128 MB physical VMEM — register-
-    # allocator spill slots roughly double the raw estimate. 72 MB
-    # splits the measured pass/fail bands. Over-budget configs fall
-    # back to the XLA scan; fused_rollout=True / env=1 still force.
+        # forced: whole batch in one call, no estimate — the bypass for
+        # batch-sharded meshes where this sees the GLOBAL batch but
+        # each chip runs only its shard
+        return batch if ok else 0
+    # auto on TPU: bf16 caches only, and only at a batch-slice size
+    # whose VMEM-resident working set (folded weight panels + 2x ring
+    # caches: input copy + scratch) fits. Empirical v5e anchors
+    # (2026-08-19, all at the production config): est 43 MB (b16 bf16)
+    # and 62 MB (b32 bf16) compile and run; est 86 MB (b16 all-f32) and
+    # 98 MB (b64 bf16) fail Mosaic compile at 128 MB physical VMEM —
+    # register-allocator spill slots roughly double the raw estimate.
+    # 72 MB splits the measured pass/fail bands. Over-budget batches
+    # run CHUNKED (largest fitting slice, e.g. 64 -> 2x32) and only
+    # shapes with no fitting slice fall back to the XLA scan;
+    # fused_rollout=True / env=1 still force a single full-batch call.
     if cache_dtype != jnp.bfloat16:
-        return False
-    est = _fused_vmem_estimate(
-        cfg, batch, cache_dtype, _fused_mm_dtype(cache_dtype)
-    )
-    return (
-        ok
-        and jax.default_backend() == "tpu"
-        and est <= 72 * 2 ** 20
-    )
+        return 0
+    if not (ok and jax.default_backend() == "tpu"):
+        return 0
+    return _fused_batch_chunk(cfg, batch, cache_dtype)
 
 
 def _fused_rollout(
     cfg, params, states, enc_a_steps, enc_mp_steps, ms, sampling_mask,
-    cache_dtype, len_a0: int, len_m0: int,
+    cache_dtype, len_a0: int, len_m0: int, chunk: int = 0,
 ) -> jnp.ndarray:
-    """Hand off the post-priming rollout to the fused Pallas kernel."""
+    """Hand off the post-priming rollout to the fused Pallas kernel.
+
+    chunk: batch-slice size from `_resolve_fused`. When smaller than
+    the batch, the kernel runs once per slice (dialogs are independent,
+    so slicing the batch is exact); the slices share one Mosaic
+    compilation (identical shapes) and each keeps its working set under
+    the VMEM gate — this is how batch 64+ stays fused instead of
+    regressing to the XLA scan."""
     from multimodalreactiongeneration_tpu.ops.pallas_decode_rollout import (
         decode_rollout,
         fold_decode_params,
@@ -408,23 +440,37 @@ def _fused_rollout(
     gt_emb = (ms[:, :, 0, :] @ w0 + b0).astype(jnp.float32)
     main0 = (ms[0][:, 0, :] @ w0 + b0).astype(jnp.float32)
 
-    ys = decode_rollout(
-        folded,
-        ca0,
-        cm0,
-        h0,
-        c0,
-        main0,
-        enc_a_steps.astype(ca0.dtype),
-        enc_mp_steps[:, :, 0, :].astype(cm0.dtype),
-        gt_emb,
-        sampling_mask.astype(jnp.float32),
-        heads=heads,
-        ratio=ratio,
-        len_a0=len_a0,
-        len_m0=len_m0,
-        bud_m=bud_m,
-    )
+    enc_a = enc_a_steps.astype(ca0.dtype)
+    enc_m = enc_mp_steps[:, :, 0, :].astype(cm0.dtype)
+    mask_f = sampling_mask.astype(jnp.float32)
+
+    def run(sl):
+        return decode_rollout(
+            folded,
+            ca0[sl],
+            cm0[sl],
+            h0[:, sl],
+            c0[:, sl],
+            main0[sl],
+            enc_a[:, sl],
+            enc_m[:, sl],
+            gt_emb[:, sl],
+            mask_f,
+            heads=heads,
+            ratio=ratio,
+            len_a0=len_a0,
+            len_m0=len_m0,
+            bud_m=bud_m,
+        )
+
+    batch = ca0.shape[0]
+    if not chunk or chunk >= batch:
+        ys = run(slice(None))
+    else:
+        ys = jnp.concatenate(
+            [run(slice(i, i + chunk)) for i in range(0, batch, chunk)],
+            axis=1,
+        )
     return ys.transpose(1, 0, 2)
 
 
@@ -568,11 +614,12 @@ def generate_metaformer(
             precomputed_others=[enc_a[:, :la], enc_mp[:, :lm]],
         )
 
-        if _resolve_fused(fused_rollout, cfg, cache_dtype, ratio, batch,
-                          la):
+        chunk = _resolve_fused(fused_rollout, cfg, cache_dtype, ratio,
+                               batch, la)
+        if chunk:
             return _fused_rollout(
                 cfg, params, states, enc_a_steps, enc_mp_steps, ms,
-                sampling_mask, cache_dtype, la, lm,
+                sampling_mask, cache_dtype, la, lm, chunk=chunk,
             )
 
         def step(carry, xs):

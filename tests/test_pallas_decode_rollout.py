@@ -108,26 +108,57 @@ def test_fused_rollout_gate():
 
 def test_fused_auto_gate_respects_vmem_budget(monkeypatch):
     # empirical v5e anchors: b16/b32 bf16 compile, b64 bf16 and b16
-    # all-f32 exceed 128 MB VMEM (register spills) — auto must fall
-    # back to the scan instead of surfacing a Mosaic compile error
+    # all-f32 exceed 128 MB VMEM (register spills) — auto must run
+    # over-budget batches CHUNKED (largest fitting slice) and fall back
+    # to the scan only when no slice fits, never surface a Mosaic
+    # compile error
     from multimodalreactiongeneration_tpu.infer import generate as G
     import bench
 
     monkeypatch.setenv("MRGEN_FUSED_DECODE", "auto")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg = bench.BENCH_CFG
-    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96)
-    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96)
-    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 64, 96)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96) == 16
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96) == 32
+    # batch 64 exceeds the budget whole but fits as 2x32 slices
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 64, 96) == 32
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 128, 96) == 32
     assert not G._resolve_fused("auto", cfg, jnp.float32, 8, 16, 96)
     # misaligned priming length: the kernel's contiguous ring write
     # needs len_a0 % ratio == 0 — unaligned stays on the scan
     assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 100)
-    # MRGEN_FUSED_MM=f32 doubles the panel bytes: batch 32 then
-    # lands in the measured compile-fail band and must fall back
+    # MRGEN_FUSED_MM=f32 doubles the panel bytes: batch 32 whole then
+    # lands in the measured compile-fail band and must chunk to 16
     monkeypatch.setenv("MRGEN_FUSED_MM", "f32")
-    assert not G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96)
-    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96)
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 32, 96) == 16
+    assert G._resolve_fused("auto", cfg, jnp.bfloat16, 8, 16, 96) == 16
+
+
+def test_fused_rollout_chunked_matches_single(monkeypatch):
+    # the VMEM gate splits over-budget batches into independent
+    # batch slices (dialogs don't interact) — slice size must not
+    # change the result
+    from multimodalreactiongeneration_tpu.infer import generate as G
+
+    batch = _full_batch(jax.random.PRNGKey(62))
+    mask = sampling_mask_for(6, "full")
+    model = Metaformer(cfg=MF_CFG)
+    params = jax.jit(model.init)(jax.random.PRNGKey(63), *batch[:6])
+    with jax.default_matmul_precision("highest"):
+        single = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            fused_rollout=True,
+        )
+        monkeypatch.setattr(G, "_resolve_fused", lambda *a, **k: 1)
+        chunked = generate_metaformer(
+            model, params, batch, mask,
+            cache_dtype=jnp.float32, kv_layout="shared",
+            fused_rollout=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(single), atol=2e-5
+    )
 
 
 def test_fused_rollout_sharded_matches_unsharded():
