@@ -1,0 +1,112 @@
+"""End-to-end TRAINING throughput through the production CLI path.
+
+Every other train number in this repo times the jitted step on a staged
+synthetic batch. This bench measures the whole production assembly on a
+real (synthetic-content) corpus: DataBuilderNX manifest -> SegmentDatasetNX
+-> length-bucketed BatchLoader + device-batched fbank collate ->
+PrefetchLoader overlap -> Trainer.fit jitted steps + checkpoint callbacks
+-- i.e. exactly what `mrgen-train` runs (train/cli.py), so it proves the
+input pipeline keeps the chip fed (reference analog: the Lightning
+DataModule + trainer loop, mr_gen/model/lstmformer/trainer.py).
+
+The Trainer records `train_frames` / `train_frames_per_s` per epoch
+(harness.py fit loop; real unpadded frames, host-side tally). Epoch 0 is
+compile + databuild-cache dominated and excluded; the reported value is
+the median of the remaining epochs. The corpus and the databuild cache
+persist under --workdir, so repeat runs skip synthesis and manifest
+builds.
+
+Run:
+    python benchmarks/epoch_bench.py                    # metaformer, B16
+    python benchmarks/epoch_bench.py --prefetch 0       # no loader overlap
+    python benchmarks/epoch_bench.py --precision bf16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=300.0)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="PrefetchLoader depth (0 = synchronous loading)")
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--model", choices=["lstmformer", "lstm_with_sampling"],
+                    default="lstmformer")
+    ap.add_argument("--workdir", default="/tmp/mrgen_epoch_bench",
+                    help="corpus + databuild cache root (persists)")
+    args = ap.parse_args()
+
+    from tests.fixtures import make_synthetic_corpus
+    from multimodalreactiongeneration_tpu.train.cli import main as train_main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = os.path.join(
+        args.workdir, f"corpus_{args.sessions}x{int(args.seconds)}"
+    )
+    if not os.path.isdir(corpus):
+        t0 = time.perf_counter()
+        os.makedirs(corpus, exist_ok=True)
+        make_synthetic_corpus(
+            corpus, n_sessions=args.sessions, seconds=args.seconds
+        )
+        print(f"corpus synthesized in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    run_dir = os.path.join(
+        args.workdir,
+        f"run_{args.model}_s{args.sessions}x{int(args.seconds)}",
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(run_dir)  # databuild caches under ./data, reused across runs
+    try:
+        result = train_main([
+            "--config", os.path.join(repo, f"configs/{args.model}.yaml"),
+            f"data_dir={corpus}",
+            f"ckpt_path={run_dir}/ckpts",
+            f"log_dir={run_dir}/log",
+            "name=epoch_bench",
+            f"batch_size={args.batch}",
+            f"max_epochs={args.epochs}",
+            f"optim_epochs={args.epochs}",
+            "callbacks.save_top_k=1",
+            "trainer.run_generation_eval=false",
+            f"trainer.prefetch_batches={args.prefetch}",
+            f"trainer.precision={'bf16' if args.precision == 'bf16' else 32}",
+            "exp.train_rate=0.8",
+            "exp.valid_rate=0.1",
+        ])
+    finally:
+        os.chdir(cwd)
+
+    hist = result.history
+    steady = hist[1:] or hist  # epoch 0 pays compile + databuild cache
+    fps = sorted(e["train_frames_per_s"] for e in steady)
+    med = fps[len(fps) // 2]
+    print(json.dumps({
+        "metric": "e2e_train_frames_per_s",
+        "value": med,
+        "unit": (
+            f"real frames/s end-to-end (corpus {args.sessions}x"
+            f"{int(args.seconds)}s, {args.model} B{args.batch}, "
+            f"prefetch={args.prefetch}, {args.precision}, loader+collate+"
+            f"step+ckpt; median of {len(steady)} steady epochs)"
+        ),
+        "per_epoch_frames_per_s": [e["train_frames_per_s"] for e in hist],
+        "train_frames_per_epoch": hist[-1]["train_frames"],
+        "epoch_seconds": [round(e["epoch_seconds"], 2) for e in hist],
+    }))
+
+
+if __name__ == "__main__":
+    main()

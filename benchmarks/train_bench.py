@@ -64,6 +64,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microsteps per optimizer "
+                         "update (optax.MultiSteps, the production "
+                         "trainer.accumulate_grad_batches path) — the "
+                         "answer to effective batches whose trajectory "
+                         "residuals OOM 16 GB HBM (B128 x T240)")
     ap.add_argument("--breakdown", action="store_true",
                     help="also time fwd-only / fwd+bwd / block-0-only "
                          "components to show where the step goes "
@@ -119,7 +125,8 @@ def main():
     else:
         model = Metaformer(cfg=cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(1), *data[:6])
-    optimizer = build_optimizer(optim_cfg)
+    optimizer = build_optimizer(optim_cfg,
+                                accumulate_grad_batches=args.accum)
     opt_state = jax.jit(optimizer.init)(params)
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     train_step, _ = streaming_step_fns(
@@ -180,6 +187,15 @@ def main():
         "unit": f"ms/step (B{b} x T{t}, {desc}, impl={args.impl}, "
                 f"{args.precision}, fwd+bwd+adam)",
     }
+    if args.accum > 1:
+        # ms above is per MICROSTEP (one fwd+bwd on B; the optimizer
+        # applies on every accum-th call). The effective optimizer step
+        # covers accum microbatches = an effective batch of B*accum,
+        # which would OOM HBM if materialized as one trajectory.
+        record["accum"] = args.accum
+        record["effective_batch"] = b * args.accum
+        record["effective_step_ms"] = round(ms * args.accum, 2)
+    record["train_frames_per_s"] = round(b * t / (ms / 1e3), 1)
     if mfu_pct is not None:
         record["tflops_per_s"] = round(tflops_per_s, 2)
         record["mfu_pct_v5e_bf16_peak"] = round(mfu_pct, 2)

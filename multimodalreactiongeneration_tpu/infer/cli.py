@@ -48,6 +48,13 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     logger = set_logger("visualize", cfg.get("log_dir", "log"))
     model_type = cfg.get("model_type", cfg.exp.use_model)
+
+    from multimodalreactiongeneration_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR,
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(cfg.get("compile_cache_dir", DEFAULT_CACHE_DIR))
     output_dir = cfg.get("output_path") or "visualize_out"
     os.makedirs(output_dir, exist_ok=True)
 

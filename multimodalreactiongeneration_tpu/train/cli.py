@@ -124,6 +124,17 @@ def main(argv=None):
     logger = set_logger(cfg.exp.use_model, cfg.get("log_dir", "log"))
     model_type = cfg.exp.use_model
 
+    # persistent XLA compile cache: every (B, T) bucket shape is a
+    # one-time cost across runs, not per process (utils/compile_cache.py)
+    from multimodalreactiongeneration_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR,
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(
+        cfg.trainer.get("compile_cache_dir", DEFAULT_CACHE_DIR)
+    )
+
     # multi-host: join the jax.distributed coordinator when launched by a
     # pod orchestrator (no-op single process; parallel/distributed.py)
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or int(

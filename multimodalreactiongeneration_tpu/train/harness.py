@@ -285,6 +285,21 @@ def windowed_step_fns(
     return train_step, eval_step
 
 
+def _batch_frames(batch) -> int:
+    """Real (unpadded) motion frames in a host batch, for the per-epoch
+    throughput record. Streaming batches are [(x, lengths), ...] pairs
+    (lengths host numpy, dataset.py pad_collate), so the tally is free —
+    no device sync. Windowed v1 batches are stacked arrays; count B*T of
+    the target."""
+    last = batch[-1]
+    if isinstance(last, (tuple, list)) and len(last) == 2:
+        return int(np.asarray(last[1]).sum())
+    shape = getattr(last, "shape", ())
+    if len(shape) >= 2:
+        return int(shape[0] * shape[1])
+    return int(shape[0]) if shape else 0
+
+
 @dataclass
 class FitResult:
     epochs_run: int = 0
@@ -450,7 +465,9 @@ class Trainer:
             train_metrics = MetricAccumulator("train_")
             t0 = time.time()
             train_losses = []
+            train_frames = 0
             for batch in train_loader:
+                train_frames += _batch_frames(batch)
                 rng, sub = jax.random.split(rng)
                 staged = self._stage(batch)
                 if self.scheduled_max_epochs:
@@ -467,7 +484,10 @@ class Trainer:
                     jax.tree_util.tree_map(np.asarray, slices)
                 )
                 step += 1
+            # the float(l) readbacks are the device sync: train_seconds
+            # includes all queued step work, so frames/s is honest
             train_loss = float(np.mean([float(l) for l in train_losses]))
+            train_seconds = time.time() - t0
 
             val_metrics = MetricAccumulator("valid_")
             val_losses = []
@@ -484,6 +504,12 @@ class Trainer:
                 "val_loss": val_loss,
                 "lr": float(lr_sched(epoch)) if lr_sched else self.optim_cfg.lr,
                 "epoch_seconds": time.time() - t0,
+                "train_seconds": round(train_seconds, 4),
+                "train_frames": train_frames,
+                # end-to-end: loader + host collate + staging + steps
+                "train_frames_per_s": round(
+                    train_frames / max(train_seconds, 1e-9), 1
+                ),
                 **train_metrics.compute(),
                 **val_metrics.compute(),
             }

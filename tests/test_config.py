@@ -1,5 +1,7 @@
 """Config system: interpolation, mandatory fields, CLI overrides."""
 
+import os
+
 import pytest
 
 from multimodalreactiongeneration_tpu.utils.config import (
@@ -68,3 +70,27 @@ def test_yaml_roundtrip(tmp_path):
 def test_equality_for_cache_protocol():
     assert from_dict(BASE) == from_dict(BASE)
     assert from_dict(BASE) != from_dict(BASE, overrides=["hidden_size=1"])
+
+
+def test_enable_compile_cache_first_wins(tmp_path):
+    """Production CLIs enable the persistent XLA compile cache, but never
+    redirect one that conftest / the multichip dryrun already set."""
+    import jax
+
+    from multimodalreactiongeneration_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        target = str(tmp_path / "cache")
+        enable_compile_cache(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        assert os.path.isdir(target)
+        enable_compile_cache(str(tmp_path / "other"))  # first-wins
+        assert jax.config.jax_compilation_cache_dir == target
+        enable_compile_cache(None)  # disabled = no-op
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -87,6 +87,15 @@ def test_fit_reduces_loss(loaders, tmp_path):
     # metrics logged with per-slice MSE keys
     assert "train_angle" in result.history[0]
     assert "valid_delta2-centroid" in result.history[0]
+    # per-epoch throughput record (epoch_bench reads these): real
+    # unpadded frames = sum of the target lengths across train batches
+    expect_frames = sum(
+        int(np.asarray(b[-1][1]).sum()) for b in train_loader
+    )
+    rec = result.history[0]
+    assert rec["train_frames"] == expect_frames > 0
+    assert rec["train_frames_per_s"] > 0
+    assert 0 < rec["train_seconds"] <= rec["epoch_seconds"]
 
 
 def test_fit_without_val_batches_skips_v_checkpoints(loaders, tmp_path):
