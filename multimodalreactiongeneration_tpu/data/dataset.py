@@ -63,6 +63,16 @@ class SegmentDatasetNX:
             self._seg_lengths = lengths
         return self._seg_lengths
 
+    def audio_paths(self) -> List[str]:
+        """Unique partner-audio wav paths across all manifests (the only
+        audio the NX sample tuple reads) — the DeviceAudioCache build
+        list."""
+        paths = set()
+        for p in self.data_list:
+            with open(p, "r", encoding="utf-8") as f:
+                paths.add(json.loads(f.readline())["partner_audio"]["path"])
+        return sorted(paths)
+
     def raw_item(self, index: int, audio: str = "array"):
         """Host-only variant: motion features extracted on host, audio
         returned as RAW sample slices so the loader can run ONE batched
@@ -305,6 +315,7 @@ def pad_collate_device(
     pad_to_multiple: int = 16,
     ratio: int = 8,
     pad_value: float = PADDING_VALUE,
+    audio_cache=None,
 ) -> Batch:
     """Batched-on-device feature collation.
 
@@ -345,19 +356,31 @@ def pad_collate_device(
             + params.n_fft
         )
         if arrs and isinstance(arrs[0], tuple):
-            # (path, start, n_samples) specs: the whole batch's slices in
-            # ONE native read (falls back to per-slice Python reads)
-            from multimodalreactiongeneration_tpu.utils import native_io
-
+            # (path, start, n_samples) specs. Preferred source: the
+            # HBM-resident bank (audio_cache) — slices gather on device,
+            # zero audio bytes over the host link. Otherwise the whole
+            # batch's slices in ONE native read (falls back to per-slice
+            # Python reads) as raw PCM16 — half the upload bytes, scaled
+            # in-graph (exact). Tail rule both ways: samples past each
+            # slice's true length are zero, matching the array path
+            # (slice then zero-pad).
             true_lens = [min(a[2], samples_needed) for a in arrs]
-            wave = native_io.read_batch(
-                [a[0] for a in arrs], [a[1] for a in arrs], samples_needed
-            )
-            # the file continues past each slice's end; zero the tail so
-            # the buffer matches the array path (slice then zero-pad)
-            for b, n in enumerate(true_lens):
-                wave[b, n:] = 0.0
             frame_counts = [params.num_output_frames(a[2]) for a in arrs]
+            wave = None
+            if audio_cache is not None:
+                wave = audio_cache.gather(
+                    [a[0] for a in arrs], [a[1] for a in arrs],
+                    true_lens, samples_needed,
+                )
+            if wave is None:
+                from multimodalreactiongeneration_tpu.utils import native_io
+
+                wave = native_io.read_batch(
+                    [a[0] for a in arrs], [a[1] for a in arrs],
+                    samples_needed, dtype=np.int16,
+                )
+                for b, n in enumerate(true_lens):
+                    wave[b, n:] = 0
         else:
             wave = np.zeros((len(arrs), samples_needed), np.float32)
             frame_counts = []
@@ -365,10 +388,15 @@ def pad_collate_device(
                 n = min(len(a), samples_needed)
                 wave[b, :n] = a[:n]
                 frame_counts.append(params.num_output_frames(len(a)))
-        feats = np.array(dsp.batched_logmel_with_power(wave, params))
-        # pad region -> sentinel, matching per-sample extraction + padding
-        for b, count in enumerate(frame_counts):
-            feats[b, count:] = pad_value
+        # feature batch stays ON DEVICE: the sentinel fill happens inside
+        # the jitted graph, so nothing streams back to host just to be
+        # padded and re-uploaded (Trainer._stage passes device arrays
+        # through). Identical values to per-sample extraction + feature
+        # padding (tested in test_databuild.py).
+        feats = dsp.batched_logmel_masked(
+            wave, np.asarray(frame_counts, np.int32), params,
+            float(pad_value),
+        )
         return feats, np.array(frame_counts, np.int64)
 
     fbank = batched_fbank("audio_seq", tm * ratio)
@@ -412,6 +440,7 @@ class BatchLoader:
         drop_last: bool = False,
         audio_cfg=None,
         bucket_windows: int = 8,
+        audio_cache=None,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
@@ -423,6 +452,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.audio_cfg = audio_cfg
         self.bucket_windows = bucket_windows
+        self.audio_cache = audio_cache
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -468,7 +498,8 @@ class BatchLoader:
                 self.dataset.raw_item(int(j), audio="spec") for j in chunk
             ]
             return pad_collate_device(
-                raws, self.audio_cfg, self.pad_to_multiple, self.ratio
+                raws, self.audio_cfg, self.pad_to_multiple, self.ratio,
+                audio_cache=self.audio_cache,
             )
         samples = [self.dataset[int(j)] for j in chunk]
         return pad_collate(samples, self.pad_to_multiple, self.ratio)

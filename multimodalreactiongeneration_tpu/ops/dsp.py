@@ -168,6 +168,34 @@ def batched_logmel_with_power(waves: jnp.ndarray, params: FbankParams):
     return jax.vmap(lambda w: logmel_with_power(w, params))(waves)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def batched_logmel_masked(
+    waves: jnp.ndarray,
+    frame_counts: jnp.ndarray,
+    params: FbankParams,
+    pad_value: float,
+):
+    """Batched fbank with the pad sentinel applied in-graph.
+
+    (B, S) float32 + (B,) true frame counts -> (B, T - delta, D) where
+    rows past each sample's frame count are ``pad_value``. Fusing the
+    sentinel fill into the same jitted graph lets the train collate keep
+    the feature batch ON DEVICE (data/dataset.py pad_collate_device):
+    the previous np.array(...) readback + host fill + re-upload cost a
+    full feature-batch round trip over the host link per batch.
+
+    Integer waves are raw PCM16: scaled by 1/2**15 in-graph (exact in
+    float32 — wavio.PCM16_SCALE), so the loader can upload int16 at half
+    the host-link bytes with bit-identical features.
+    """
+    if jnp.issubdtype(waves.dtype, jnp.integer):
+        waves = waves.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    feats = jax.vmap(lambda w: logmel_with_power(w, params))(waves)
+    t = feats.shape[1]
+    mask = jnp.arange(t)[None, :] < frame_counts[:, None]
+    return jnp.where(mask[:, :, None], feats, jnp.float32(pad_value))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def frame_log_power(wave: jnp.ndarray, n_fft: int = 400, hop: int = 160):
     """Framewise log energy for VAD (speech_segmentation.py:30-38).

@@ -54,12 +54,38 @@ def make_streaming_loaders(cfg, logger):
     # prefetch_batches=0 falls back to synchronous in-loop loading
     depth = int(cfg.trainer.get("prefetch_batches", 2))
 
+    # HBM-resident corpus audio: upload wavs once, gather slices on
+    # device per batch (data/audio_cache.py). Auto-disabled when the
+    # bank would exceed the budget; cache_audio_mb=0 turns it off.
+    audio_cache = None
+    cache_mb = float(cfg.trainer.get("cache_audio_mb", 1024))
+    if cache_mb > 0:
+        from multimodalreactiongeneration_tpu.data.audio_cache import (
+            DeviceAudioCache,
+        )
+
+        audio_cache = DeviceAudioCache.build_for_dataset(
+            dataset, cfg.audio.to_dict(), pad, ratio=8,
+            budget_bytes=int(cache_mb * 1e6),
+        )
+        if audio_cache is not None:
+            logger.info(
+                f"audio cache: corpus resident on device "
+                f"({audio_cache.nbytes / 1e6:.0f} MB)"
+            )
+        else:
+            logger.info(
+                f"audio cache: off (over {cache_mb:.0f} MB budget or "
+                f"empty corpus); per-batch int16 reads"
+            )
+
     def mk(idx, sh):
         loader = BatchLoader(
             dataset, idx, bs, pad_to_multiple=pad, shuffle=sh,
             seed=cfg.get("seed", 0),
             audio_cfg=cfg.audio.to_dict(),  # batched-on-device fbank/batch
             bucket_windows=int(cfg.trainer.get("bucket_windows", 8)),
+            audio_cache=audio_cache,
         )
         # multi-host: identical global batches everywhere, each process
         # keeps its row slice (HostRowShard docstring has the why)

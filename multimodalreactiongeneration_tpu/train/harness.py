@@ -376,6 +376,16 @@ class Trainer:
         n_local = max(n // procs, 1)
 
         def put(x):
+            if isinstance(x, jax.Array) and procs == 1:
+                # already on device (device-collated fbank batches): pad
+                # rows in-graph and reshard without a host round trip
+                rem = (-x.shape[0]) % n_local
+                if rem:
+                    fill = jnp.full(
+                        (rem,) + x.shape[1:], PADDING_VALUE, x.dtype
+                    )
+                    x = jnp.concatenate([x, fill], axis=0)
+                return jax.device_put(x, self._bsh)
             x = np.asarray(x)
             rem = (-x.shape[0]) % n_local
             if rem:
@@ -464,7 +474,13 @@ class Trainer:
                 opt_state = set_learning_rate(opt_state, float(lr_sched(epoch)))
             train_metrics = MetricAccumulator("train_")
             t0 = time.time()
-            train_losses = []
+            # loss + metric scalars stay ON DEVICE during the epoch and
+            # read back as ONE stacked array at the end: a per-batch
+            # np.asarray costs a full host round trip PER LEAF, which
+            # measured 4.3 s of a 4.9 s steady epoch on the TPU tunnel
+            # (benchmarks/loader_profile.py attribution, 2026-08-19)
+            packed_train = []
+            train_def = None
             train_frames = 0
             for batch in train_loader:
                 train_frames += _batch_frames(batch)
@@ -479,23 +495,34 @@ class Trainer:
                     params, opt_state, loss, slices = self._train_step(
                         params, opt_state, staged, sub
                     )
-                train_losses.append(loss)
-                train_metrics.update(
-                    jax.tree_util.tree_map(np.asarray, slices)
-                )
+                flat, train_def = jax.tree_util.tree_flatten(slices)
+                packed_train.append(jnp.stack([loss] + flat))
                 step += 1
-            # the float(l) readbacks are the device sync: train_seconds
+            # the stacked readback is the device sync: train_seconds
             # includes all queued step work, so frames/s is honest
-            train_loss = float(np.mean([float(l) for l in train_losses]))
+            if packed_train:
+                arr = np.asarray(jnp.stack(packed_train))
+                train_loss = float(arr[:, 0].mean())
+                for row in arr:
+                    train_metrics.update(train_def.unflatten(list(row[1:])))
+            else:
+                train_loss = float("nan")
             train_seconds = time.time() - t0
 
             val_metrics = MetricAccumulator("valid_")
-            val_losses = []
+            packed_val = []
+            val_def = None
             for batch in val_loader:
                 loss, slices = self._eval_step(params, self._stage(batch))
-                val_losses.append(float(loss))
-                val_metrics.update(jax.tree_util.tree_map(np.asarray, slices))
-            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                flat, val_def = jax.tree_util.tree_flatten(slices)
+                packed_val.append(jnp.stack([loss] + flat))
+            if packed_val:
+                arr = np.asarray(jnp.stack(packed_val))
+                val_loss = float(arr[:, 0].mean())
+                for row in arr:
+                    val_metrics.update(val_def.unflatten(list(row[1:])))
+            else:
+                val_loss = float("nan")
 
             record = {
                 "epoch": epoch,

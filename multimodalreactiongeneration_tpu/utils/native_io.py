@@ -68,6 +68,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.mrgen_read_batch_i16.restype = ctypes.c_long
+    lib.mrgen_read_batch_i16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_short),
+    ]
     lib.mrgen_frame_energy.restype = ctypes.c_long
     lib.mrgen_frame_energy.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -105,19 +114,43 @@ def read_slice(path: str, start: int, frames: int) -> np.ndarray:
 
 
 def read_batch(
-    paths: List[str], starts: List[int], frames: int
+    paths: List[str], starts: List[int], frames: int, dtype=np.float32
 ) -> np.ndarray:
-    """(n, frames) float32 batch in one native call."""
+    """(n, frames) batch in one native call.
+
+    ``dtype=np.int16`` returns raw PCM16 samples (channel 0, zero-padded
+    past EOF) with NO float conversion — the train collate uploads these
+    directly and scales by 1/2**15 in-graph (ops/dsp.py), which is exact
+    in float32, so the int16 path is bit-identical at half the bytes.
+    """
+    if dtype == np.int16:
+        lib = _load()
+        if lib is None:
+            from multimodalreactiongeneration_tpu.utils.wavio import read_wav
+
+            out = np.zeros((len(paths), frames), np.int16)
+            for i, (p, s) in enumerate(zip(paths, starts)):
+                data, _ = read_wav(p, s, frames, dtype=np.int16)
+                out[i, : data.shape[1]] = data[0]
+            return out
+        blob, offsets, starts_arr = _pack_paths(paths, starts)
+        out = np.empty((len(paths), frames), np.int16)
+        rc = lib.mrgen_read_batch_i16(
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            starts_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            frames,
+            len(paths),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        )
+        if rc != 0:
+            raise OSError(f"native batch read failed at segment {-rc - 1}")
+        return out
+
     lib = _load()
     if lib is None:
         return np.stack([read_slice(p, s, frames) for p, s in zip(paths, starts)])
-    blob = b"".join(p.encode() + b"\0" for p in paths)
-    offsets = np.zeros(len(paths), np.int64)
-    pos = 0
-    for i, p in enumerate(paths):
-        offsets[i] = pos
-        pos += len(p.encode()) + 1
-    starts_arr = np.asarray(starts, np.int64)
+    blob, offsets, starts_arr = _pack_paths(paths, starts)
     out = np.empty((len(paths), frames), np.float32)
     rc = lib.mrgen_read_batch_f32(
         blob,
@@ -130,6 +163,16 @@ def read_batch(
     if rc != 0:
         raise OSError(f"native batch read failed at segment {-rc - 1}")
     return out
+
+
+def _pack_paths(paths: List[str], starts: List[int]):
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    offsets = np.zeros(len(paths), np.int64)
+    pos = 0
+    for i, p in enumerate(paths):
+        offsets[i] = pos
+        pos += len(p.encode()) + 1
+    return blob, offsets, np.asarray(starts, np.int64)
 
 
 def frame_energy_native(

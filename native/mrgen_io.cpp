@@ -118,12 +118,58 @@ long mrgen_read_batch_f32(const char* paths, const long* path_offsets,
   return 0;
 }
 
+// Raw-PCM16 variant of mrgen_read_f32: channel 0, no float conversion.
+// The train collate uploads these straight to the accelerator and scales
+// by 1/2^15 in-graph (exact in float32), halving host-link bytes.
+long mrgen_read_i16(const char* path, long start, long frames,
+                    int16_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -10;
+  WavInfo info;
+  int rc = parse_header(f, &info);
+  if (rc != 0) { fclose(f); return rc; }
+  const int ch = info.channels ? info.channels : 1;
+  long avail = 0;
+  if (start < (long)info.data_frames) {
+    avail = (long)info.data_frames - start;
+    if (avail > frames) avail = frames;
+  }
+  if (avail > 0) {
+    fseek(f, info.data_offset + start * 2L * ch, SEEK_SET);
+    if (ch == 1) {
+      size_t got = fread(out, 2, (size_t)avail, f);
+      avail = (long)got;
+    } else {
+      std::vector<int16_t> buf((size_t)avail * ch);
+      size_t got = fread(buf.data(), 2, (size_t)avail * ch, f);
+      long got_frames = (long)(got / ch);
+      for (long i = 0; i < got_frames; ++i) out[i] = buf[(size_t)i * ch];
+      avail = got_frames;
+    }
+  }
+  fclose(f);
+  for (long i = avail < 0 ? 0 : avail; i < frames; ++i) out[i] = 0;
+  return avail;
+}
+
+long mrgen_read_batch_i16(const char* paths, const long* path_offsets,
+                          const long* starts, long frames, long n,
+                          int16_t* out) {
+  for (long i = 0; i < n; ++i) {
+    long rc = mrgen_read_i16(paths + path_offsets[i], starts[i], frames,
+                             out + i * frames);
+    if (rc < 0) return -(i + 1);
+  }
+  return 0;
+}
+
 // Framed energy (un-windowed): writes (len-n_fft)/hop + 1 values and
-// returns the frame count. OPTIONAL utility (host-side prefiltering /
-// benchmarks); the production VAD (data/segmentation.py) stays pure
-// NumPy on purpose — its accumulation order defines dataset turn
-// boundaries, and a ulp-level difference at the threshold could flip a
-// frame.
+// returns the frame count. Production caller: the databuild VAD
+// (data/segmentation.py compute_log_power) when this library is built.
+// Each window is summed independently in the same left-to-right float32
+// order as the numpy fallback (tests/test_native_io.py pins equality) —
+// the accumulation order matters because VAD thresholds define dataset
+// turn boundaries.
 long mrgen_frame_energy(const float* wave, long len, long n_fft, long hop,
                         float* out) {
   if (len < n_fft) return 0;
