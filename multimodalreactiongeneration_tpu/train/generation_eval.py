@@ -48,8 +48,13 @@ def make_generation_eval(model, model_type: str, model_cfg) -> Callable:
     def generation_eval(params, val_loader) -> float:
         losses = []
         for batch in val_loader:
-            data = tuple(np.asarray(b[0]) for b in batch)
-            losses.append(float(_one(params, data)))
-        return float(np.mean(losses)) if losses else float("nan")
+            # batch leaves may already be device arrays (device-resident
+            # collate) — hand them to the jit as-is; one stacked sync at
+            # the end instead of a per-batch float() round trip
+            data = tuple(b[0] for b in batch)
+            losses.append(_one(params, data))
+        if not losses:
+            return float("nan")
+        return float(np.asarray(jnp.stack(losses)).mean())
 
     return generation_eval
