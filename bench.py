@@ -34,12 +34,6 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from multimodalreactiongeneration_tpu.infer.generate import (
-    generate_metaformer,
-    sampling_mask_for,
-)
-from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
-
 BENCH_CFG = dict(
     main_modal_idx=2,
     hidden_size=256,
@@ -171,6 +165,44 @@ TORCH_CPU_REFERENCE = {
 
 
 def measure():
+    # test-only hook: "dur:value[,dur:value...]" makes each fresh
+    # --measure child sleep `dur` seconds and report `value` instead of
+    # touching the TPU, so tests/test_bench_killproof.py can exercise
+    # the streaming-median / budget / SIGTERM machinery on any box.
+    # Never set outside tests; real runs leave it unset.
+    selftest = os.environ.get("MRGEN_BENCH_SELFTEST")
+    if selftest:
+        import tempfile
+
+        seq = [s.split(":") for s in selftest.split(",")]
+        # fresh children consume entries in order via a counter file
+        ctr = os.path.join(
+            tempfile.gettempdir(),
+            f"mrgen_bench_selftest_{os.environ['MRGEN_BENCH_SELFTEST_ID']}",
+        )
+        try:
+            with open(ctr) as f:
+                i = int(f.read())
+        except FileNotFoundError:
+            i = 0
+        with open(ctr, "w") as f:
+            f.write(str(i + 1))
+        dur, value = seq[min(i, len(seq) - 1)]
+        time.sleep(float(dur))
+        return {
+            "metric": "selftest",
+            "value": float(value),
+            "unit": "selftest",
+            "vs_baseline": 0.0,
+        }
+    # deferred: keeps selftest children (and the parent, which never
+    # touches the model) free of the multi-second flax import
+    from multimodalreactiongeneration_tpu.infer.generate import (
+        generate_metaformer,
+        sampling_mask_for,
+    )
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+
     ref = TORCH_CPU_REFERENCE
     assert (BATCH, FRAMES, LEAD) == (
         ref["batch"], ref["frames"], ref["lead"]
@@ -247,36 +279,93 @@ def _tunnel_alive(timeout: float = 120.0) -> bool:
         return False
 
 
-def parent_main():
-    """Median over SAMPLES fresh-process measurements.
+def _running_median(records):
+    """Lower-middle on even counts: with a sample missing, do not let
+    the partial "median" read as the more flattering of the survivors."""
+    ordered = sorted(records, key=lambda r: r["value"])
+    return ordered[(len(ordered) - 1) // 2]
 
-    Fresh-process runs of the same workload historically span ~36k-43k
-    with rare ~22k degraded-runtime outliers; a single sample could
+
+def parent_main():
+    """Median over SAMPLES fresh-process measurements, kill-proof.
+
+    Fresh-process runs of the same workload historically span a wide
+    band with rare degraded-runtime outliers; a single sample could
     snapshot an outlier and misrepresent the build. Each sample runs in
-    its own subprocess (sequentially — one chip) and the record with the
-    median value is printed, so the driver's snapshot is robust to one
-    bad draw. Set MRGEN_BENCH_SAMPLES=1 for a quick single run.
+    its own subprocess (sequentially — one chip).
+
+    The driver runs this under a wall-clock timeout it does not
+    advertise (round 3 recorded rc 124 / parsed null because the median
+    only printed after ALL samples). Three defenses:
+
+    - the RUNNING median JSON line is printed to stdout after EVERY
+      completed sample (last line wins), so a kill at any point after
+      the first sample still leaves a parseable record;
+    - a total wall budget (env MRGEN_BENCH_BUDGET, default 900 s) stops
+      sampling when the next sample cannot plausibly finish in the
+      remaining time — the best-so-far median is already on stdout;
+    - SIGTERM/SIGINT are trapped to kill the --measure child's whole
+      process group before exiting: an orphaned child holds the TPU and
+      serializes the next run (see .claude/skills/verify/SKILL.md).
+
+    Set MRGEN_BENCH_SAMPLES=1 for a quick single run.
     """
+    import signal
     import subprocess
     import sys
 
     if SAMPLES <= 1:
         child_main()
         return
+
     records = []
-    attempts = 0
-    timeouts = 0
-    # per-sample wall cap: a healthy sample is ~2.5 min warm / ~10 min
-    # cold-compile; the tunnel occasionally wedges a process in a
-    # never-returning RPC ("TPU worker crashed" without an exception) —
-    # kill it and move on rather than hanging the whole bench
-    # 1500 s: a healthy sample is ~2.5 min warm but ~10-13 min when the
-    # persistent compile cache was invalidated by a code change — the
-    # cap must not kill a legitimate cold compile
+    child = {"proc": None}
+
+    def _killpg_child():
+        proc = child["proc"]
+        if proc is not None and proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                pass
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        # killpg only, no reap: the handler interrupts a blocked
+        # communicate() and a reentrant wait could deadlock on Popen's
+        # internal lock; we exit immediately so the zombie is the
+        # init-reaper's problem, and the TPU-holding group is dead
+        _killpg_child()
+        if records:  # re-emit so the kill cannot race the last print
+            print(json.dumps(_running_median(records)), flush=True)
+        # conventional 128+signum; driver only parses the last line
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    budget = float(os.environ.get("MRGEN_BENCH_BUDGET", "900"))
+    t_start = time.monotonic()
+    # per-sample wall cap: a healthy sample is ~2.5 min warm but
+    # ~10-13 min when the persistent compile cache was invalidated by a
+    # code change — the cap must not kill a legitimate cold compile.
+    # The tunnel occasionally wedges a process in a never-returning RPC
+    # ("TPU worker crashed" without an exception) — kill and move on.
     sample_timeout = float(
         os.environ.get("MRGEN_BENCH_SAMPLE_TIMEOUT", "1500")
     )
+    last_dur = 150.0  # optimistic floor until a real sample is timed
+    attempts = 0
+    timeouts = 0
     while len(records) < SAMPLES and attempts < SAMPLES + 4:
+        remaining = budget - (time.monotonic() - t_start)
+        if records and remaining < last_dur * 1.2:
+            print(
+                f"bench: wall budget exhausted ({budget:.0f}s, next "
+                f"sample needs ~{last_dur:.0f}s); keeping median of "
+                f"{len(records)} sample(s)",
+                file=sys.stderr,
+            )
+            break
         attempts += 1
         if timeouts:
             # a wedged tunnel (observed 2026-08-17: even an 8x8 matmul
@@ -292,38 +381,56 @@ def parent_main():
                     file=sys.stderr,
                 )
                 continue
+        # with a record in hand, never let one sample run past the
+        # budget; with none, the number matters more than the budget —
+        # allow the full per-sample cap and rely on the signal trap
+        cap = sample_timeout if not records else max(
+            60.0, min(sample_timeout, remaining)
+        )
+        t_sample = time.monotonic()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            start_new_session=True,  # own pgroup -> killpg reaps execv'd
+        )  # retry children too, not just the direct child
+        child["proc"] = proc
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--measure"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=sample_timeout,
-            )
+            out, err = proc.communicate(timeout=cap)
         except subprocess.TimeoutExpired:
+            _killpg_child()
+            try:
+                proc.communicate(timeout=10)  # reap; group already dead
+            except Exception:  # noqa: BLE001 - best-effort
+                pass
             timeouts += 1
             print(
                 f"bench sample attempt {attempts} timed out after "
-                f"{sample_timeout:.0f}s (wedged tunnel); skipping",
+                f"{cap:.0f}s (wedged tunnel); skipping",
                 file=sys.stderr,
             )
             continue
-        sys.stderr.write(proc.stderr)
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        finally:
+            child["proc"] = None
+        sys.stderr.write(err)
+        line = out.strip().splitlines()[-1] if out.strip() else ""
         if proc.returncode == 0 and line.startswith("{"):
             rec = json.loads(line)
             records.append(rec)
+            last_dur = time.monotonic() - t_sample
             timeouts = 0  # recovered: back-to-back sampling again
             print(
-                f"bench sample {len(records)}/{SAMPLES}: {rec['value']}",
+                f"bench sample {len(records)}/{SAMPLES}: {rec['value']} "
+                f"({last_dur:.0f}s)",
                 file=sys.stderr,
             )
+            # stream the running median NOW: if the driver kills the
+            # bench later, this line is the record (last line wins)
+            print(json.dumps(_running_median(records)), flush=True)
     if not records:
         raise RuntimeError("all bench subprocess samples failed")
-    records.sort(key=lambda r: r["value"])
-    # lower-middle on even counts: when a sample failed, do not let the
-    # 2-sample "median" read as the more flattering of the two
-    print(json.dumps(records[(len(records) - 1) // 2]))
 
 
 if __name__ == "__main__":
