@@ -317,6 +317,52 @@ def _launch_workers(
     timeout: float,
     extra_args: List[str],
 ) -> List[Tuple[int, str, str]]:
+    """Box-locked launch with one spaced retry.
+
+    The 1-CPU box makes the tier load-sensitive: when anything else (a
+    bench, a second suite) shares the core, a worker can miss the gloo
+    coordinator's init window and the whole launch dies on timeout. Two
+    defenses: an exclusive flock serializes every multihost launch on
+    the box (concurrent pytest sessions queue instead of thrashing), and
+    a failed launch is retried once after 15 s.
+    """
+    import contextlib
+    import fcntl
+    import time
+
+    @contextlib.contextmanager
+    def box_lock():
+        path = os.path.join(tempfile.gettempdir(), "mrgen_multihost.lock")
+        f = open(path, "w", encoding="utf-8")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX)  # blocking: queue, don't thrash
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+            f.close()
+
+    with box_lock():
+        try:
+            return _launch_workers_once(
+                num_processes, local_devices, timeout, extra_args
+            )
+        except (RuntimeError, subprocess.TimeoutExpired) as exc:
+            sys.stderr.write(
+                f"multihost launch failed ({type(exc).__name__}: {exc}); "
+                "retrying once in 15 s\n"
+            )
+            time.sleep(15)
+            return _launch_workers_once(
+                num_processes, local_devices, timeout, extra_args
+            )
+
+
+def _launch_workers_once(
+    num_processes: int,
+    local_devices: int,
+    timeout: float,
+    extra_args: List[str],
+) -> List[Tuple[int, str, str]]:
     port = _free_port()
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

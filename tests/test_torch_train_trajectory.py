@@ -180,6 +180,31 @@ def _jax_trajectory(params, pairs):
     return losses
 
 
+def _sgd_losses_torch(ref, step_batch, steps=STEPS, lr=LR):
+    opt = torch.optim.SGD(ref.parameters(), lr=lr)
+    losses = []
+    for _ in range(steps):
+        opt.zero_grad()
+        out = ref.training_step(step_batch())
+        out["loss"].backward()
+        opt.step()
+        losses.append(float(out["loss"].detach()))
+    return losses
+
+
+def _assert_trajectories_match(ref_losses, our_losses, tol=1e-4):
+    assert len(ref_losses) == len(our_losses) == STEPS
+    for i, (a, b) in enumerate(zip(ref_losses, our_losses)):
+        assert np.isfinite(a) and np.isfinite(b)
+        assert abs(a - b) < tol, (
+            f"step {i}: torch {a} vs jax {b} (|d|={abs(a - b):.2e})\n"
+            f"torch traj {ref_losses}\njax traj {our_losses}"
+        )
+    # the trajectory must actually move — a frozen model would pass the
+    # per-step comparison trivially if both sides ignored the update
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-6
+
+
 def test_five_step_sgd_trajectory_matches_reference():
     torch.manual_seed(7)
     ref = _build_reference_model()
@@ -192,13 +217,196 @@ def test_five_step_sgd_trajectory_matches_reference():
     ref_losses = _torch_trajectory(ref, pairs)
     our_losses = _jax_trajectory(params, pairs)
 
-    assert len(ref_losses) == len(our_losses) == STEPS
-    for i, (a, b) in enumerate(zip(ref_losses, our_losses)):
-        assert np.isfinite(a) and np.isfinite(b)
-        assert abs(a - b) < 1e-4, (
-            f"step {i}: torch {a} vs jax {b} (|d|={abs(a - b):.2e})\n"
-            f"torch traj {ref_losses}\njax traj {our_losses}"
+    _assert_trajectories_match(ref_losses, our_losses)
+
+
+# ---------------------------------------------------------------------------
+# LSTMwithSample: the reference's own training_step
+# (/root/reference/mr_gen/model/lstm_with_sampling/lstm_with_sample.py:
+# 278-301) — lead slicing, -100 loss masking, sqrt(delta_loss_scale)
+# channel scaling, huber loss zoo (:235-246) — previously verified only
+# by forward goldens (test_torch_import_lws.py).
+# ---------------------------------------------------------------------------
+
+LWS_CFG = dict(
+    sampling_rate=16000,
+    shift=160,
+    pred_fps=12.5,
+    use_centroid=True,
+    use_angle=True,
+    nmels=26,
+    delta_order=2,
+    sampler_hidden_size=16,
+    sampler_num_layers=1,
+    sampler_dropout_rate=0.0,
+    hidden_size=24,
+    bottleneck_size=8,
+    num_layers=2,
+    num_lstm=1,
+    dropout_rate=0.0,
+    use_layer_norm=True,
+    use_mixing=False,
+    use_residual=True,
+    use_relu=True,
+    max_epochs=10,
+    use_scheduled_sampling=False,
+    loss_type="huber",
+    loss_reduction="mean",
+    huber_delta=1.0,
+    delta_loss_scale=2.0,
+)
+
+
+def _build_reference_lws():
+    sys.path.insert(0, REFERENCE)
+    from benchmarks.torch_baseline import AttrDict, _install_lightning_stub
+
+    _install_lightning_stub()
+    from mr_gen.model.lstm_with_sampling.lstm_with_sample import (
+        LSTMwithSample as RefLWS,
+    )
+
+    model = RefLWS(
+        AttrDict(LWS_CFG), AttrDict(), AttrDict(METRICS_CFG)
+    )
+    model.train()
+    return model
+
+
+def test_lws_five_step_sgd_trajectory_matches_reference():
+    from multimodalreactiongeneration_tpu.models.lstm_with_sampling import (
+        LSTMwithSample,
+    )
+    from multimodalreactiongeneration_tpu.models.torch_import import (
+        import_lws_state_dict,
+    )
+
+    torch.manual_seed(13)
+    ref = _build_reference_lws()
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = {"params": import_lws_state_dict(sd, LWS_CFG)}
+
+    pairs = _make_batch(np.random.default_rng(17))
+    t_batch = [
+        (torch.from_numpy(d.copy()), torch.from_numpy(l.copy()))
+        for d, l in pairs
+    ]
+    # LWS training_step does NOT mask the self-motion input (unlike
+    # Metaformer's batch[2] masking, lstm_with_sample.py:278-285) —
+    # hand the batch over unmodified on both sides
+    ref_losses = _sgd_losses_torch(ref, lambda: list(t_batch))
+
+    model = LSTMwithSample(cfg=LWS_CFG)
+    optimizer = build_optimizer(
+        from_dict(
+            dict(
+                use_optimizer="sgd", momentum=0.0, weight_decay=0.0,
+                lr=LR, use_lr_sched=False, batch_size=2, max_epochs=10,
+            )
         )
-    # the trajectory must actually move — a frozen model would pass the
-    # per-step comparison trivially if both sides ignored the update
-    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-6
+    )
+    train_step, _ = streaming_step_fns(
+        model, LWS_CFG, METRICS_CFG, optimizer, mask_self_motion_input=False
+    )
+    step = jax.jit(train_step)
+    opt_state = optimizer.init(params)
+    batch = [(jnp.asarray(d), jnp.asarray(l)) for d, l in pairs]
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for _ in range(STEPS):
+        params, opt_state, loss, _ = step(params, opt_state, batch, key)
+        our_losses.append(float(loss))
+
+    _assert_trajectories_match(ref_losses, our_losses)
+
+
+# ---------------------------------------------------------------------------
+# SimpleLSTM: the reference's own training_step
+# (/root/reference/mr_gen/model/simple_lstm/simple_lstm.py:238-254) —
+# all_static split_and_form delta recomputation (:223-237) and the
+# sqrt(delta_loss_scale) channel scaler (:246-250). The reference's
+# forward cannot execute as written (it pipes the encoders'
+# (tensor, state) tuples straight into nn.MultiheadAttention — PARITY.md
+# deviation 7), so forward is bound to the minimal intent fix driving
+# the SAME submodules (the benchmarks/torch_baseline.py run_simple_lstm
+# precedent); training_step, split_and_form, the scaler and lossfun are
+# the reference's real code, unmodified.
+# ---------------------------------------------------------------------------
+
+
+def _build_reference_simple_lstm(cfg):
+    import types as _types
+
+    sys.path.insert(0, REFERENCE)
+    from benchmarks.torch_baseline import AttrDict, _install_lightning_stub
+
+    _install_lightning_stub()
+    from mr_gen.model.simple_lstm.simple_lstm import SimpleLSTM as RefSimple
+
+    model = RefSimple(AttrDict(cfg), AttrDict(), AttrDict(METRICS_CFG))
+
+    def intent_forward(self, acoustic_feature, motion_feature):
+        def tensor_of(x):
+            return x[0] if isinstance(x, tuple) else x
+
+        a = tensor_of(self.acoustic_encoder(acoustic_feature))
+        m = tensor_of(self.motion_encoder(motion_feature))
+        att = self.multimodal_att(m, a)
+        y = tensor_of(self.motion_decoder.decoder_lstm(att))
+        return self.motion_decoder.mapping(self.motion_decoder.seq_reshape(y))
+
+    model.forward = _types.MethodType(intent_forward, model)
+    model.train()
+    return model
+
+
+def test_simple_lstm_five_step_sgd_trajectory_matches_reference():
+    from multimodalreactiongeneration_tpu.models.simple_lstm import SimpleLSTM
+    from multimodalreactiongeneration_tpu.models.torch_import import (
+        import_simple_lstm_state_dict,
+    )
+    from multimodalreactiongeneration_tpu.train.harness import (
+        windowed_step_fns,
+    )
+    from tests.test_simple_lstm import CFG as SIMPLE_BASE
+
+    cfg = dict(
+        SIMPLE_BASE,
+        motion_bottleneck_size=64,
+        acostic_bottleneck_size=64,
+        delta_loss_scale=2.0,
+        all_static=True,
+    )
+    torch.manual_seed(23)
+    ref = _build_reference_simple_lstm(cfg)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = {"params": import_simple_lstm_state_dict(sd, cfg)}
+
+    rng = np.random.default_rng(29)
+    fb = rng.standard_normal((2, 48, 81)).astype(np.float32)
+    mo = rng.standard_normal((2, 10, 18)).astype(np.float32)
+    tg = rng.standard_normal((2, 1, 18)).astype(np.float32)
+
+    t_fb, t_mo, t_tg = (torch.from_numpy(a.copy()) for a in (fb, mo, tg))
+    ref_losses = _sgd_losses_torch(ref, lambda: (t_fb, t_mo, t_tg))
+
+    model = SimpleLSTM(cfg=cfg)
+    optimizer = build_optimizer(
+        from_dict(
+            dict(
+                use_optimizer="sgd", momentum=0.0, weight_decay=0.0,
+                lr=LR, use_lr_sched=False, batch_size=2, max_epochs=10,
+            )
+        )
+    )
+    train_step, _ = windowed_step_fns(model, cfg, METRICS_CFG, optimizer)
+    step = jax.jit(train_step)
+    opt_state = optimizer.init(params)
+    batch = (jnp.asarray(fb), jnp.asarray(mo), jnp.asarray(tg))
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for _ in range(STEPS):
+        params, opt_state, loss, _ = step(params, opt_state, batch, key)
+        our_losses.append(float(loss))
+
+    _assert_trajectories_match(ref_losses, our_losses)
