@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--prefetch", type=int, default=2,
                     help="PrefetchLoader depth (0 = synchronous loading)")
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--genrt", choices=["on", "off"], default="on",
+                    help="generation eval during validation (production "
+                    "default ON: reference validation_step runs a full AR "
+                    "rollout every pass, lstmformer.py:387-424)")
+    ap.add_argument("--vci", type=float, default=None,
+                    help="override trainer.val_check_interval (default: "
+                    "the config's production 0.25 -> 4 checks/epoch)")
     ap.add_argument("--model", choices=["lstmformer", "lstm_with_sampling"],
                     default="lstmformer")
     ap.add_argument("--workdir", default="/tmp/mrgen_epoch_bench",
@@ -80,12 +87,17 @@ def main():
             f"max_epochs={args.epochs}",
             f"optim_epochs={args.epochs}",
             "callbacks.save_top_k=1",
-            "trainer.run_generation_eval=false",
+            f"trainer.run_generation_eval="
+            f"{'true' if args.genrt == 'on' else 'false'}",
             f"trainer.prefetch_batches={args.prefetch}",
             f"trainer.precision={'bf16' if args.precision == 'bf16' else 32}",
             "exp.train_rate=0.8",
             "exp.valid_rate=0.1",
-        ])
+        ] + (
+            [f"trainer.val_check_interval={args.vci}"]
+            if args.vci is not None
+            else []
+        ))
     finally:
         os.chdir(cwd)
 
@@ -96,18 +108,28 @@ def main():
     steady = hist[2:] or hist[1:] or hist
     fps = sorted(e["train_frames_per_s"] for e in steady)
     med = fps[len(fps) // 2]
+    # wall-clock epoch rate: train + validation checks + genrt rollouts
+    # + checkpointing — the number a production user experiences with the
+    # config-default cadence (val_check_interval 0.25, genrt on)
+    wall = sorted(
+        e["train_frames"] / max(e["epoch_seconds"], 1e-9) for e in steady
+    )
     print(json.dumps({
         "metric": "e2e_train_frames_per_s",
         "value": med,
         "unit": (
             f"real frames/s end-to-end (corpus {args.sessions}x"
             f"{int(args.seconds)}s, {args.model} B{args.batch}, "
-            f"prefetch={args.prefetch}, {args.precision}, loader+collate+"
-            f"step+ckpt; median of {len(steady)} steady epochs)"
+            f"prefetch={args.prefetch}, {args.precision}, genrt "
+            f"{args.genrt}, loader+collate+step+ckpt; median of "
+            f"{len(steady)} steady epochs)"
         ),
+        "wall_epoch_frames_per_s": round(wall[len(wall) // 2], 1),
         "per_epoch_frames_per_s": [e["train_frames_per_s"] for e in hist],
         "train_frames_per_epoch": hist[-1]["train_frames"],
         "epoch_seconds": [round(e["epoch_seconds"], 2) for e in hist],
+        "val_seconds": [round(e.get("val_seconds", 0.0), 2) for e in hist],
+        "val_checks": [e.get("val_checks", 0) for e in hist],
     }))
 
 

@@ -183,7 +183,15 @@ def chunk_t(batch: int) -> int:
     IMPORTANT: callers pad time with the batch-INDEPENDENT PAD_T = 16
     (every chunk divides it); keying padded OUTPUT shapes on this
     function would break custom_partitioning, whose abstract eval sees
-    the global batch while the lowering sees the local shard."""
+    the global batch while the lowering sees the local shard.
+
+    MRGEN_CHUNK_T overrides the heuristic for A/B experiments (must
+    divide PAD_T: 8 or 16)."""
+    import os
+
+    override = os.environ.get("MRGEN_CHUNK_T")
+    if override:
+        return int(override)
     return 16 if batch <= 32 else 8
 
 

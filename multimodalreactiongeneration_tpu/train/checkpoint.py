@@ -20,6 +20,7 @@ import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -36,26 +37,108 @@ def _make_pytree_checkpointer(use_async: bool = False):
     calling rank makes the save purely local, which is exactly its
     semantics here.
 
-    use_async: saves return immediately and serialize to disk on a
-    background thread (orbax AsyncCheckpointer) so the next epoch's
-    steps overlap the write; TopKCheckpointer keeps at most one save in
-    flight and exposes wait() for the end-of-fit flush.
+    TopKCheckpointer's use_async runs this SYNC checkpointer on its own
+    background thread after a device-side snapshot, so the checkpointer
+    here is always the blocking flavor.
     """
+    del use_async
     if jax.process_count() == 1:
-        if use_async:
-            return ocp.AsyncCheckpointer(
-                ocp.PyTreeCheckpointHandler(use_ocdbt=True)
-            )
         return ocp.PyTreeCheckpointer()
     me = jax.process_index()
     mp = ocp.options.MultiprocessingOptions(
         primary_host=me, active_processes={me}
     )
-    cls = ocp.AsyncCheckpointer if use_async else ocp.Checkpointer
-    return cls(
+    return ocp.Checkpointer(
         ocp.PyTreeCheckpointHandler(use_ocdbt=True),
         multiprocessing_options=mp,
     )
+
+
+def _pack_device(tree):
+    """Device-side snapshot of a pytree as few large buffers.
+
+    The device->host link pays a round trip PER ARRAY: fetching the
+    340-leaf 52 MB metaformer param tree costs 9.5-10 s on the tunneled
+    runtime vs 1.3-1.8 s for ONE 52 MB buffer (measured 2026-08-20).
+    Raveling + concatenating the leaves into one buffer per dtype turns
+    a checkpoint fetch into a handful of bandwidth-bound transfers. The
+    concatenate also snapshots: its outputs are fresh buffers, so the
+    caller's (possibly donated-away-next-step) leaves are not referenced
+    after this returns.
+
+    Returns (packed {dtype: buffer}, leaf metadata, treedef) for
+    ``_unpack_host``. Non-jax leaves are copied to host immediately.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    meta = []  # (group_key_or_None, shape, size) per leaf; None = host
+    host_leaves = {}
+    groups: Dict[str, List[int]] = {}
+    for i, leaf in enumerate(leaves):
+        if not isinstance(leaf, jax.Array):
+            host_leaves[i] = np.array(leaf)
+            meta.append((None, None, 0))
+            continue
+        key = str(jnp.dtype(leaf.dtype))
+        groups.setdefault(key, []).append(i)
+        meta.append((key, tuple(leaf.shape), int(leaf.size)))
+    packed = {
+        key: jnp.concatenate([leaves[i].ravel() for i in idxs])
+        if len(idxs) > 1
+        else leaves[idxs[0]].ravel()
+        for key, idxs in groups.items()
+    }
+    return packed, (meta, treedef, host_leaves, groups)
+
+
+def _unpack_host(packed, spec):
+    """Fetch the packed buffers (one transfer each) and rebuild the
+    original pytree as OWNED host numpy arrays."""
+    meta, treedef, host_leaves, groups = spec
+    out: List[Any] = [None] * len(meta)
+    for i, arr in host_leaves.items():
+        out[i] = arr
+    for key, idxs in groups.items():
+        host = np.asarray(packed[key])
+        off = 0
+        for i in idxs:
+            _, shape, size = meta[i]
+            out[i] = host[off:off + size].reshape(shape).copy()
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def fetch_tree(tree):
+    """Host-numpy copy of a device pytree via packed transfers."""
+    packed, spec = _pack_device(tree)
+    return _unpack_host(packed, spec)
+
+
+class DeviceSnapshot:
+    """One packed device snapshot shared by several checkpoint saves.
+
+    A validation check can trigger up to three monitors (V/T/G) saving
+    the SAME params + optimizer state; snapshotting once and caching the
+    host fetch means one d2h transfer per check instead of three. The
+    lock serializes the lazily-cached fetch across the monitors'
+    background save threads.
+    """
+
+    def __init__(self, params, opt_state=None):
+        tree = {"params": params}
+        if opt_state is not None:
+            tree["opt"] = opt_state
+        self._snap = _pack_device(tree)
+        self._host = None
+        import threading
+
+        self._lock = threading.Lock()
+
+    def host_payload(self):
+        with self._lock:
+            if self._host is None:
+                self._host = _unpack_host(*self._snap)
+                self._snap = None  # free the device buffers
+            return self._host
 
 
 class TopKCheckpointer:
@@ -71,6 +154,8 @@ class TopKCheckpointer:
         self.top_k = top_k
         self.monitor = monitor
         self.use_async = use_async
+        self._thread = None
+        self._thread_exc = None
         self._saved: List[Tuple[float, str]] = []  # (val_loss, path)
         self._ckpt = _make_pytree_checkpointer(use_async)
         # seed from checkpoints already on disk so a resumed run compares
@@ -94,29 +179,64 @@ class TopKCheckpointer:
 
     def wait(self):
         """Block until any in-flight async save is on disk (no-op sync)."""
-        if self.use_async:
-            self._ckpt.wait_until_finished()
+        thread = getattr(self, "_thread", None)
+        if thread is not None:
+            thread.join()
+            self._thread = None
+            exc = self._thread_exc
+            self._thread_exc = None
+            if exc is not None:
+                raise exc
 
     def _save(self, path: str, params, opt_state, epoch: int):
-        # at most ONE async save in flight: the previous epoch's write
-        # overlaps this epoch's compute, and pruning below never races
-        # an unfinished serialization
+        # at most ONE async save in flight: the previous save's fetch +
+        # write overlaps this epoch's compute, and pruning in maybe_save
+        # never races an unfinished serialization
         self.wait()
         if os.path.exists(path):
             shutil.rmtree(path)
-        # OWNED host copies, not views: np.asarray of a CPU jax array is
-        # zero-copy, and with async saves the donated device buffer is
-        # deleted by the next train step while the writer still reads it
-        copy = lambda x: np.array(x)
-        payload = {
-            "params": jax.tree_util.tree_map(copy, params),
-            "epoch": epoch,
-        }
-        if opt_state is not None:
+        # device-side packing is the snapshot: concatenate yields fresh
+        # buffers, so the next train step's donated-buffer reuse cannot
+        # touch what the (possibly background) writer reads. Packing
+        # also makes the d2h fetch bandwidth-bound instead of per-leaf
+        # round-trip-bound — see _pack_device. A DeviceSnapshot may be
+        # passed in place of the params tree (opt_state ignored) to
+        # share one snapshot + one fetch across several monitors.
+        snap = (
+            params
+            if isinstance(params, DeviceSnapshot)
+            else DeviceSnapshot(params, opt_state)
+        )
+        if not self.use_async:
+            self._host_save(path, snap, epoch)
+            return
+        # async: the fetch + serialize run on a background thread (one
+        # in flight per monitor); the fetch is the expensive half on a
+        # tunneled runtime, so hiding only the disk write (orbax
+        # AsyncCheckpointer semantics) would still block validation
+        import threading
+
+        self._thread_exc = None
+
+        def run():
+            try:
+                self._host_save(path, snap, epoch)
+            except Exception as exc:  # noqa: BLE001 - surfaced by wait()
+                self._thread_exc = exc
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def _host_save(self, path: str, snap: "DeviceSnapshot", epoch: int):
+        # host_payload returns OWNED host copies, never device views —
+        # required because the writer may run after the trainer moved on
+        # (cached: shared-snapshot monitors fetch once between them)
+        tree = snap.host_payload()
+        payload = {"params": tree["params"], "epoch": epoch}
+        if "opt" in tree:
             # store the optimizer state's array leaves flattened; the tree
             # structure is rebuilt from optimizer.init(params) on restore
-            leaves = jax.tree_util.tree_leaves(opt_state)
-            payload["opt_leaves"] = [copy(x) for x in leaves]
+            payload["opt_leaves"] = jax.tree_util.tree_leaves(tree["opt"])
         self._ckpt.save(path, payload)
 
     def maybe_save(self, params, opt_state, epoch: int, val_loss: float):

@@ -289,6 +289,9 @@ def main(argv=None):
             else None
         ),
         seed=cfg.get("seed", 0),
+        # Lightning fractional semantics (reference config.yaml:128):
+        # 0.25 validates 4x per train epoch, patience counted in checks
+        val_check_interval=float(cfg.trainer.get("val_check_interval", 1.0)),
     )
     params, result = trainer.fit(
         params,

@@ -325,6 +325,7 @@ class Trainer:
         generation_eval: Optional[Callable] = None,
         scheduled_max_epochs: Optional[int] = None,
         seed: int = 0,
+        val_check_interval: float = 1.0,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -336,6 +337,13 @@ class Trainer:
         self.generation_eval = generation_eval
         self.scheduled_max_epochs = scheduled_max_epochs
         self.seed = seed
+        # Lightning semantics (reference config.yaml:128 val_check_interval:
+        # 0.25): a float <= 1.0 validates every int(frac * len(train_loader))
+        # train steps — 4x/epoch in production — and early-stop patience is
+        # counted in validation CHECKS (patience_epoch / val_check_interval,
+        # reference lstmformer/trainer.py:58-59). An int > 1 validates every
+        # N steps (Lightning's other mode; unused by the reference configs).
+        self.val_check_interval = float(val_check_interval)
 
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
@@ -426,9 +434,27 @@ class Trainer:
             if self.optim_cfg.use_lr_sched
             else None
         )
-        patience = self.callbacks.get("patience_epoch", max_epochs)
+        patience_epochs = self.callbacks.get("patience_epoch", max_epochs)
         use_early = self.callbacks.get("use_early_stopping", False)
         top_k = self.callbacks.get("save_top_k", 1)
+        # validation cadence (Lightning val_check_interval semantics):
+        # fraction of the train epoch, or every-N-steps when > 1. With
+        # the production 0.25 this validates 4x/epoch and counts early-
+        # stop patience in CHECKS — patience_epoch / val_check_interval
+        # (reference lstmformer/trainer.py:58-59) — so patience 10 at
+        # 0.25 tolerates 40 non-improving validations, same as Lightning.
+        vci = self.val_check_interval
+        try:
+            n_train_batches = len(train_loader)
+        except TypeError:
+            n_train_batches = None
+        if vci > 1.0:
+            val_every = int(vci)
+        elif n_train_batches:
+            val_every = max(1, int(n_train_batches * vci))
+        else:
+            val_every = None
+        patience = patience_epochs / vci if vci <= 1.0 else patience_epochs
         # multi-host: rank 0 owns checkpoint files — concurrent same-path
         # writes from other ranks would corrupt. train/val monitors are
         # global losses (identical on every rank, SPMD); the genrt
@@ -466,54 +492,37 @@ class Trainer:
                 )
         saver = savers.get("V")
         rng = jax.random.PRNGKey(self.seed)
-        bad_epochs = 0
+        wait_checks = 0  # early-stop wait counter, in validation checks
         step = 0
+        check_idx = 0
+        stop = False
 
-        for epoch in range(start_epoch, max_epochs):
-            if lr_sched is not None:
-                opt_state = set_learning_rate(opt_state, float(lr_sched(epoch)))
-            train_metrics = MetricAccumulator("train_")
-            t0 = time.time()
-            # loss + metric scalars stay ON DEVICE during the epoch and
-            # read back as ONE stacked array at the end: a per-batch
-            # np.asarray costs a full host round trip PER LEAF, which
-            # measured 4.3 s of a 4.9 s steady epoch on the TPU tunnel
-            # (benchmarks/loader_profile.py attribution, 2026-08-19)
-            packed_train = []
-            train_def = None
-            train_frames = 0
-            for batch in train_loader:
-                train_frames += _batch_frames(batch)
-                rng, sub = jax.random.split(rng)
-                staged = self._stage(batch)
-                if self.scheduled_max_epochs:
-                    rate = jnp.float32(epoch / self.scheduled_max_epochs)
-                    params, opt_state, loss, slices = self._train_step(
-                        params, opt_state, staged, sub, rate
-                    )
-                else:
-                    params, opt_state, loss, slices = self._train_step(
-                        params, opt_state, staged, sub
-                    )
-                flat, train_def = jax.tree_util.tree_flatten(slices)
-                packed_train.append(jnp.stack([loss] + flat))
-                step += 1
-            # the stacked readback is the device sync: train_seconds
-            # includes all queued step work, so frames/s is honest
-            if packed_train:
-                arr = np.asarray(jnp.stack(packed_train))
-                train_loss = float(arr[:, 0].mean())
-                for row in arr:
-                    train_metrics.update(train_def.unflatten(list(row[1:])))
-            else:
-                train_loss = float("nan")
-            train_seconds = time.time() - t0
-
+        def _run_check(params, opt_state, epoch, packed_train, rate):
+            """One Lightning-style validation check: full val pass (+ AR
+            generation rollout when generation_eval is set — reference
+            validation_step runs generation every time, lstmformer.py:
+            387-424), V/T/G checkpoint monitors, early-stop bookkeeping,
+            and a check record in metrics.jsonl. Returns the check's
+            scalars so the epoch record can reuse the last one."""
+            nonlocal wait_checks, stop, check_idx, val_seconds
+            check_idx += 1
+            # running train loss for the T monitor: mean over the steps
+            # so far this epoch (one scalar readback; the stacked arrays
+            # stay on device for the epoch-end metric reduction). Read
+            # FIRST: it drains the queued train steps, so the validation
+            # timer below charges only validation work to val_seconds
+            # and train_frames_per_s stays an honest train-side number
+            train_so_far = (
+                float(jnp.stack(packed_train)[:, 0].mean())
+                if packed_train
+                else float("nan")
+            )
+            t_val = time.time()
             val_metrics = MetricAccumulator("valid_")
             packed_val = []
             val_def = None
-            for batch in val_loader:
-                loss, slices = self._eval_step(params, self._stage(batch))
+            for vbatch in val_loader:
+                loss, slices = self._eval_step(params, self._stage(vbatch))
                 flat, val_def = jax.tree_util.tree_flatten(slices)
                 packed_val.append(jnp.stack([loss] + flat))
             if packed_val:
@@ -523,6 +532,126 @@ class Trainer:
                     val_metrics.update(val_def.unflatten(list(row[1:])))
             else:
                 val_loss = float("nan")
+            genrt_loss = None
+            if self.generation_eval is not None:
+                genrt_loss = float(self.generation_eval(params, val_loader))
+
+            # no validation batches -> the V monitor never fires
+            # (Lightning ModelCheckpoint semantics); avoids V{e}-nan files
+            # One device snapshot shared by all three monitors: the d2h
+            # fetch (the expensive half of a save on remote runtimes) is
+            # paid once per check, not once per monitor
+            snap = (
+                ckpt_lib.DeviceSnapshot(params, opt_state)
+                if savers
+                else None
+            )
+            if saver is not None and not np.isnan(val_loss):
+                saver.maybe_save(snap, None, epoch, val_loss)
+            if "T" in savers and np.isfinite(train_so_far):
+                savers["T"].maybe_save(snap, None, epoch, train_so_far)
+            if "G" in savers and genrt_loss is not None and np.isfinite(
+                genrt_loss
+            ):
+                savers["G"].maybe_save(snap, None, epoch, genrt_loss)
+
+            if val_loss < result.best_val_loss:
+                result.best_val_loss = val_loss
+                wait_checks = 0
+            elif not np.isnan(val_loss):
+                wait_checks += 1
+                # >= : Lightning's EarlyStopping stops once wait_count
+                # reaches patience (wait_count >= patience)
+                if use_early and wait_checks >= patience:
+                    stop = True
+
+            check = {
+                "epoch": epoch,
+                "step": step,
+                "val_check": check_idx,
+                "val_loss": val_loss,
+                "train_loss_so_far": train_so_far,
+                **val_metrics.compute(),
+            }
+            if genrt_loss is not None:
+                check["genrt_loss"] = genrt_loss
+            if rate is not None:
+                # reference logs the teacher-forcing schedule per step
+                # (lstmformer.py:359-360); constant within an epoch, so
+                # the per-check record is the complete audit trail
+                check["scheduled_sampling_rate"] = rate
+            self._log(check)
+            val_seconds += time.time() - t_val
+            return check
+
+        for epoch in range(start_epoch, max_epochs):
+            if lr_sched is not None:
+                opt_state = set_learning_rate(opt_state, float(lr_sched(epoch)))
+            train_metrics = MetricAccumulator("train_")
+            t0 = time.time()
+            rate = (
+                epoch / self.scheduled_max_epochs
+                if self.scheduled_max_epochs
+                else None
+            )
+            # loss + metric scalars stay ON DEVICE during the epoch and
+            # read back as ONE stacked array at the end: a per-batch
+            # np.asarray costs a full host round trip PER LEAF, which
+            # measured 4.3 s of a 4.9 s steady epoch on the TPU tunnel
+            # (benchmarks/loader_profile.py attribution, 2026-08-19)
+            packed_train = []
+            train_def = None
+            train_frames = 0
+            last_check = None
+            checks_this_epoch = 0
+            val_seconds = 0.0
+            # per-epoch batch index for the check cadence: Lightning
+            # resets the interval counter every epoch (checks land at the
+            # same batch positions each epoch even when the epoch length
+            # is not a multiple of the interval)
+            for batch_idx, batch in enumerate(train_loader):
+                train_frames += _batch_frames(batch)
+                rng, sub = jax.random.split(rng)
+                staged = self._stage(batch)
+                if self.scheduled_max_epochs:
+                    params, opt_state, loss, slices = self._train_step(
+                        params, opt_state, staged, sub, jnp.float32(rate)
+                    )
+                else:
+                    params, opt_state, loss, slices = self._train_step(
+                        params, opt_state, staged, sub
+                    )
+                flat, train_def = jax.tree_util.tree_flatten(slices)
+                packed_train.append(jnp.stack([loss] + flat))
+                step += 1
+                if val_every and (batch_idx + 1) % val_every == 0:
+                    last_check = _run_check(
+                        params, opt_state, epoch, packed_train, rate
+                    )
+                    checks_this_epoch += 1
+                    if stop:
+                        break
+            # the stacked readback is the device sync: train_seconds
+            # includes all queued step work (minus the separately-timed
+            # validation checks), so frames/s is honest
+            if packed_train:
+                arr = np.asarray(jnp.stack(packed_train))
+                train_loss = float(arr[:, 0].mean())
+                for row in arr:
+                    train_metrics.update(train_def.unflatten(list(row[1:])))
+            else:
+                train_loss = float("nan")
+            train_seconds = time.time() - t0 - val_seconds
+            # epoch-end validation only when no interval check covered
+            # this epoch (unsized loader, empty epoch, or interval longer
+            # than the epoch) — Lightning likewise skips an extra epoch-
+            # end pass when the last interval check already ran
+            if last_check is None and not stop:
+                last_check = _run_check(
+                    params, opt_state, epoch, packed_train, rate
+                )
+                checks_this_epoch += 1
+            val_loss = last_check["val_loss"] if last_check else float("nan")
 
             record = {
                 "epoch": epoch,
@@ -537,36 +666,27 @@ class Trainer:
                 "train_frames_per_s": round(
                     train_frames / max(train_seconds, 1e-9), 1
                 ),
+                "val_checks": checks_this_epoch,
+                "val_seconds": round(val_seconds, 4),
                 **train_metrics.compute(),
-                **val_metrics.compute(),
             }
-            if self.generation_eval is not None:
-                record["genrt_loss"] = float(
-                    self.generation_eval(params, val_loader)
+            if last_check:
+                record.update(
+                    {
+                        k: v
+                        for k, v in last_check.items()
+                        if k.startswith("valid_")
+                    }
                 )
+                if "genrt_loss" in last_check:
+                    record["genrt_loss"] = last_check["genrt_loss"]
+            if rate is not None:
+                record["scheduled_sampling_rate"] = rate
             self._log(record)
             result.history.append(record)
             result.epochs_run = epoch + 1
-
-            # no validation batches -> the V monitor never fires (Lightning
-            # ModelCheckpoint semantics); avoids V{epoch}-nan checkpoints
-            if saver is not None and not np.isnan(val_loss):
-                saver.maybe_save(params, opt_state, epoch, val_loss)
-            if "T" in savers and np.isfinite(train_loss):
-                savers["T"].maybe_save(params, opt_state, epoch, train_loss)
-            if "G" in savers and np.isfinite(record.get("genrt_loss", np.nan)):
-                savers["G"].maybe_save(
-                    params, opt_state, epoch, record["genrt_loss"]
-                )
-            if val_loss < result.best_val_loss:
-                result.best_val_loss = val_loss
-                bad_epochs = 0
-            elif not np.isnan(val_loss):
-                bad_epochs += 1
-                # >= : Lightning's EarlyStopping stops once wait_count
-                # reaches patience (wait_count >= patience)
-                if use_early and bad_epochs >= patience:
-                    break
+            if stop:
+                break
         if saver is not None:
             saver.save_last(params, opt_state, result.epochs_run - 1)
         for s in savers.values():
