@@ -70,6 +70,11 @@ def main():
                          "trainer.accumulate_grad_batches path) — the "
                          "answer to effective batches whose trajectory "
                          "residuals OOM 16 GB HBM (B128 x T240)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the forward in the backward pass "
+                         "(jax.checkpoint, the trainer.remat=true path) — "
+                         "lets batches whose trajectory residuals OOM HBM "
+                         "compile, at recompute cost")
     ap.add_argument("--breakdown", action="store_true",
                     help="also time fwd-only / fwd+bwd / block-0-only "
                          "components to show where the step goes "
@@ -135,6 +140,7 @@ def main():
         # inputs; LSTMwithSample feeds them raw (reference parity)
         mask_self_motion_input=(args.model == "metaformer"),
         compute_dtype=compute_dtype,
+        remat=args.remat,
     )
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -185,7 +191,8 @@ def main():
         "metric": f"{args.model}_train_step_ms",
         "value": round(ms, 2),
         "unit": f"ms/step (B{b} x T{t}, {desc}, impl={args.impl}, "
-                f"{args.precision}, fwd+bwd+adam)",
+                f"{args.precision}, fwd+bwd+adam"
+                f"{', remat' if args.remat else ''})",
     }
     if args.accum > 1:
         # ms above is per MICROSTEP (one fwd+bwd on B; the optimizer
