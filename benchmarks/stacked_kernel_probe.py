@@ -45,14 +45,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "MRGEN_JAX_CACHE", os.path.expanduser("~/.cache/mrgen-jax-cache")
-    ),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 from multimodalreactiongeneration_tpu.ops.pallas_lstm_stacked import (  # noqa: E402
     CHUNK_S,
     _COMPILER_PARAMS,
@@ -233,10 +225,30 @@ def time_fn(fn, args, n_small=2, n_large=6, estimates=3):
         s = (t_l - t_s) / (n_large - n_small)
         if s > 0:
             slopes.append(s)
+    # ablated variants have intentionally invalid numerics (e.g. ff can
+    # exceed 1) and may diverge to NaN over long T — a NaN state makes
+    # every perturbed input identically all-NaN, re-enabling the
+    # runtime's content memoization and silently deflating the timing
+    if not bool(jnp.isfinite(out[3]).all()):
+        print(
+            "WARNING: non-finite final state — measurement discarded "
+            "(content-memoization hazard)",
+            file=sys.stderr,
+        )
+        return None
     return float(np.median(slopes)) * 1e3 if slopes else None
 
 
 def main():
+    # first-wins cache setup INSIDE main: importing this module (the
+    # test suite does) must not redirect the process's compile cache
+    from multimodalreactiongeneration_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(
+        os.environ.get("MRGEN_JAX_CACHE", "~/.cache/mrgen-jax-cache")
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--t", type=int, default=1920)
@@ -273,11 +285,13 @@ def main():
         ms = time_fn(fn, inp)
         record[name + "_ms"] = None if ms is None else round(ms, 2)
         print(f"{name}: {record[name + '_ms']} ms", file=sys.stderr)
-    if record["full_ms"] and record["noact_ms"]:
+    # `is not None`, not truthiness: a legitimate 0.0 ms reading (after
+    # round) must not suppress the derived fields
+    if record["full_ms"] is not None and record["noact_ms"] is not None:
         record["act_cost_ms"] = round(
             record["full_ms"] - record["noact_ms"], 2
         )
-    if record["full_ms"] and record["nostore_ms"]:
+    if record["full_ms"] is not None and record["nostore_ms"] is not None:
         record["store_cost_ms"] = round(
             record["full_ms"] - record["nostore_ms"], 2
         )
