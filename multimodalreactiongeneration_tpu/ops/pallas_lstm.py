@@ -322,10 +322,16 @@ def _bwd_impl(w_hh_t, h0, c0, ys, cs, gates_all, dys, dhn, dcn):
 
     # dW_hh = sum_t h_{t-1}^T dgates_t: one einsum over the whole
     # sequence (contraction dim B*T fills the MXU; padding steps are
-    # zeroed in dxw by the kernel's valid mask)
+    # zeroed in dxw by the kernel's valid mask).
+    # Precision.HIGHEST is REQUIRED in f32 mode: XLA's default TPU
+    # matmul precision truncates f32 operands to single-pass bf16, and
+    # this contraction's heavy cancellation amplified that to 5-15%
+    # relative dW_hh error on-chip at T>=100 (measured round 5;
+    # interpret-mode CPU tests can't see it). No-op for bf16 operands.
     dwhh = jnp.einsum(
         "bth,btg->hg", ys_shift.astype(mm), dxw.astype(mm),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(w_hh_t.dtype)
     return dxw[:, :t_real], dwhh, dh0_out, dc0_out
 

@@ -624,9 +624,14 @@ def _vjp_bwd(res, cot):
 
     dg2 = jnp.einsum("blsh,blsh->lh", douts_all, xhat2)
     db2 = jnp.einsum("blsh->lh", douts_all)
+    # Precision.HIGHEST on all weight-grad einsums: default TPU
+    # precision (single-pass bf16 operands) measures 5-15% relative dW
+    # error under these contractions' cancellation in f32 mode
+    # (round-5 finding on the LSTM kernels); no-op for bf16 operands
+    hi = jax.lax.Precision.HIGHEST
     dwff = jnp.einsum(
         "blsh,blsi->lhi", y.astype(mm), dzs_all.astype(mm),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=hi,
     ).astype(w_ff.dtype)
     dbff = jnp.einsum("blsh->lh", dzs_all)
     dg1 = jnp.einsum("blsh,blsh->lh", dys_all, xhat1)
@@ -635,11 +640,11 @@ def _vjp_bwd(res, cot):
     hsp = jnp.concatenate([h0b[:, :, None], hs[:, :, :-1]], axis=2)
     dwhh = jnp.einsum(
         "blsh,blsg->lhg", hsp.astype(mm), dgs.astype(mm),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=hi,
     ).astype(w_hh_t.dtype)
     dwih = jnp.einsum(
         "blsh,blsg->lhg", xs.astype(mm), dgs.astype(mm),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=hi,
     ).astype(w_ih_t.dtype)
     dbg = jnp.einsum("blsg->lg", dgs)
 
