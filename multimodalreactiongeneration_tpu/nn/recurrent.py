@@ -247,19 +247,15 @@ class TorchLSTM(nn.Module):
                 idx = layer * num_dir + direction
                 if impl == "pallas":
                     from multimodalreactiongeneration_tpu.ops.pallas_lstm import (
+                        lstm_layer,
                         lstm_recurrence,
+                    )
+                    from multimodalreactiongeneration_tpu.ops.pallas_lstm_stacked import (
+                        _fused_dw_enabled,
                     )
 
                     x_dir = (
                         jnp.flip(layer_in, axis=1) if direction else layer_in
-                    )
-                    xw = (
-                        jnp.einsum(
-                            "bti,hi->bth", x_dir, w_ih,
-                            preferred_element_type=jnp.float32,
-                        )
-                        + b_ih
-                        + b_hh
                     )
                     # kernel state/accumulation are f32; the weight dtype
                     # selects the MXU matmul precision — bf16 params run
@@ -270,12 +266,40 @@ class TorchLSTM(nn.Module):
                         if w_hh.dtype == jnp.bfloat16
                         else jnp.float32
                     )
-                    ys, (h, c) = lstm_recurrence(
-                        xw.astype(jnp.float32),
-                        w_hh.T.astype(mm_dtype),
-                        h0_all[idx].astype(jnp.float32),
-                        c0_all[idx].astype(jnp.float32),
-                    )
+                    if (
+                        _fused_dw_enabled()
+                        and x_dir.shape[-1] % 128 == 0
+                        and self.hidden_size % 128 == 0
+                    ):
+                        # round-5 fully-fused layer: backward consumes
+                        # dgates in VMEM (dx/dW/db in-kernel) instead of
+                        # materializing the (B, T, 4H) trajectory for
+                        # outside einsums — the measured 11.6 ms/step of
+                        # post-kernel dW/bias reductions in the B32xT240
+                        # metaformer profile (ops/pallas_lstm.py)
+                        ys, (h, c) = lstm_layer(
+                            x_dir.astype(mm_dtype),
+                            w_ih.T.astype(mm_dtype),
+                            (b_ih + b_hh).astype(jnp.float32),
+                            w_hh.T.astype(mm_dtype),
+                            h0_all[idx].astype(jnp.float32),
+                            c0_all[idx].astype(jnp.float32),
+                        )
+                    else:
+                        xw = (
+                            jnp.einsum(
+                                "bti,hi->bth", x_dir, w_ih,
+                                preferred_element_type=jnp.float32,
+                            )
+                            + b_ih
+                            + b_hh
+                        )
+                        ys, (h, c) = lstm_recurrence(
+                            xw.astype(jnp.float32),
+                            w_hh.T.astype(mm_dtype),
+                            h0_all[idx].astype(jnp.float32),
+                            c0_all[idx].astype(jnp.float32),
+                        )
                     ys = ys.astype(x.dtype)
                     h = h.astype(x.dtype)
                     c = c.astype(x.dtype)

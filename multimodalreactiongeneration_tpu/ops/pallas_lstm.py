@@ -367,6 +367,337 @@ _bwd_sharded = shard_batch_dim(
 )
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused layer op (round 5): wide-form backward + in-kernel dX/dW/db
+# ---------------------------------------------------------------------------
+#
+# The round-5 train-step profile (B32 x T240 metaformer, bf16) showed
+# the per-layer backward splitting into 11.2 ms of reverse-chain kernels
+# PLUS 11.6 ms of OUTSIDE-kernel consumers of the dgates trajectory:
+# dW_ih/dW_hh einsums (8.2 ms of dot_general) and bias-grad reduce_sums
+# (3.4 ms) — each re-reading the (B, T, 4H) trajectory from HBM. The
+# ``lstm_layer`` op moves the custom_vjp boundary UP to include the
+# input projection, so the backward kernel can consume dgates entirely
+# in VMEM: per reverse chunk it runs the serial chain (wide-form over
+# stored A/M residuals, zero transcendentals — same redesign as
+# ops/pallas_lstm_stacked.py), then emits dx = dgates @ W_ih (the only
+# trajectory-sized output, 4x smaller than dgates) and accumulates
+# dW_ih += x^T dgates, dW_hh += h_prev^T dgates, db += sum(dgates) into
+# constant-index output blocks at full MXU contraction width (B*TC).
+# The dgates trajectory never touches HBM.
+
+
+def _fwd_kernel_acts(
+    xw_ref, whh_ref, h0_ref, c0_ref,
+    ys_ref, as_ref, ms_ref, hn_ref, cn_ref,
+    h_scr, c_scr,
+    *, t_real,
+):
+    """Forward storing the wide backward residuals A = [i, f, g, o] and
+    M = [g, c_prev, i, tanh(c)] instead of gate pre-activations.
+    Cell math identical to _fwd_kernel; c_prev is captured BEFORE the
+    state update so index i reads c_{t-1} with c0 at each layer start
+    (the shift the old path built with a host-side concat)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = xw_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    def body(i, _):
+        valid = t * tc + i < t_real
+        gates = xw_ref[:, i] + jnp.dot(
+            h_scr[:].astype(whh_ref.dtype), whh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        hdim = h_scr.shape[-1]
+        ii = jax.nn.sigmoid(gates[:, :hdim])
+        ff = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
+        gg = jnp.tanh(gates[:, 2 * hdim : 3 * hdim])
+        oo = jax.nn.sigmoid(gates[:, 3 * hdim :])
+        c_prev = c_scr[:]
+        c = ff * c_prev + ii * gg
+        tanh_c = jnp.tanh(c)
+        h = oo * tanh_c
+        h_scr[:] = jnp.where(valid, h, h_scr[:])
+        c_scr[:] = jnp.where(valid, c, c_prev)
+        ys_ref[:, i] = h
+        # lane-sliced quarter stores (a 4-way lane concat here measured
+        # ~1 ms/fwd at T=1920 on the stacked kernel)
+        as_ref[:, i, :hdim] = ii
+        as_ref[:, i, hdim : 2 * hdim] = ff
+        as_ref[:, i, 2 * hdim : 3 * hdim] = gg
+        as_ref[:, i, 3 * hdim :] = oo
+        ms_ref[:, i, :hdim] = gg
+        ms_ref[:, i, hdim : 2 * hdim] = c_prev
+        ms_ref[:, i, 2 * hdim : 3 * hdim] = ii
+        ms_ref[:, i, 3 * hdim :] = tanh_c
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    @pl.when(t == nt - 1)
+    def _():
+        hn_ref[:] = h_scr[:]
+        cn_ref[:] = c_scr[:]
+
+
+def _bwd_kernel_layer(
+    as_ref, ms_ref, ysp_ref, x_ref, dys_ref, wih_ref, whh_ref,
+    dhn_ref, dcn_ref,
+    dx_ref, dh0_ref, dc0_ref, dwih_ref, dwhh_ref, db_ref,
+    dh_scr, dc_scr, dgc_scr,
+    *, t_real,
+):
+    """Reverse chunks: wide-form serial chain, then batched chunk-level
+    dx matmul + dW/db accumulation — nothing trajectory-sized leaves
+    the kernel except dx (the true input cotangent)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    tc = as_ref.shape[1]
+    hdim = ysp_ref.shape[-1]
+    b = as_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = dhn_ref[:]
+        dc_scr[:] = dcn_ref[:]
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 4 * hdim), 1)
+    mask_g = jnp.logical_and(lane >= 2 * hdim, lane < 3 * hdim)
+    mask_o = lane >= 3 * hdim
+
+    def body(j, _):
+        i = tc - 1 - j
+        valid = (nt - 1 - t) * tc + i < t_real
+        acts = as_ref[:, i]  # A = [i, f, g, o]
+        m = ms_ref[:, i]     # M = [g, c_prev, i, tanh_c]
+        tanh_c = m[:, 3 * hdim :]
+        ff = acts[:, hdim : 2 * hdim]
+        oo = acts[:, 3 * hdim :]
+
+        dh = dys_ref[:, i] + dh_scr[:]
+        dc = dh * oo * (1.0 - tanh_c * tanh_c) + dc_scr[:]
+        dc_prev = dc * ff
+        dstack = jnp.where(
+            mask_o,
+            jnp.concatenate([dh, dh, dh, dh], axis=-1),
+            jnp.concatenate([dc, dc, dc, dc], axis=-1),
+        )
+        u = dstack * m  # [dc*g, dc*c_prev, dc*i, dh*tanh_c]
+        a2 = acts * acts
+        d_act = jnp.where(mask_g, 1.0 - a2, acts - a2)
+        dgates = jnp.where(valid, u * d_act, 0.0)
+        dgc_scr[:, i] = dgates
+        dh_prev = jax.lax.dot_general(
+            dgates.astype(whh_ref.dtype), whh_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_scr[:] = jnp.where(valid, dh_prev, dh_scr[:])
+        dc_scr[:] = jnp.where(valid, dc_prev, dc_scr[:])
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    # chunk-level trailing work at full MXU contraction width (B*TC);
+    # these matmuls have no serial dependence across the chunk
+    mm = wih_ref.dtype
+    din = x_ref.shape[-1]
+    dgc = dgc_scr[:].reshape(b * tc, 4 * hdim)
+    dx_ref[:] = jax.lax.dot_general(
+        dgc.astype(mm), wih_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, tc, din)
+    xc = x_ref[:].reshape(b * tc, din)
+    dwih_ref[:] += jax.lax.dot_general(
+        xc.astype(mm), dgc.astype(mm),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ysc = ysp_ref[:].reshape(b * tc, hdim)
+    dwhh_ref[:] += jax.lax.dot_general(
+        ysc.astype(mm), dgc.astype(mm),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[0] += jnp.sum(dgc_scr[:], axis=(0, 1))
+
+    @pl.when(t == nt - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+def _fwd_acts_impl(xw, w_hh_t, h0, c0):
+    """Forward with (ys, A, M) residuals, all PAD_T-padded (the bwd
+    kernel consumes the padded layout)."""
+    tc = _chunk_t(xw.shape[0])
+    xw_p, t_real = _pad_time(xw, PAD_T)
+    b, t_pad, g4 = xw_p.shape
+    h = g4 // 4
+    nt = t_pad // tc
+
+    chunk_spec = lambda d: pl.BlockSpec(
+        (b, tc, d), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec((b, h), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    ys, as_, ms, hn, cn = pl.pallas_call(
+        functools.partial(_fwd_kernel_acts, t_real=t_real),
+        grid=(nt,),
+        in_specs=[
+            chunk_spec(g4),
+            pl.BlockSpec((h, g4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_specs=(chunk_spec(h), chunk_spec(g4), chunk_spec(g4),
+                   state_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, g4), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, g4), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+        ),
+        compiler_params=_COMPILER_PARAMS,
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+        ],
+    )(xw_p, w_hh_t, h0, c0)
+    return ys, as_, ms, hn, cn
+
+
+def _bwd_layer_impl(w_ih_t, w_hh_t, ysp, x_p, as_, ms, dys, dhn, dcn):
+    tc = _chunk_t(ysp.shape[0])
+    b, t_pad, g4 = as_.shape
+    h = g4 // 4
+    din = x_p.shape[-1]
+    nt = t_pad // tc
+    rev = lambda t: (0, nt - 1 - t, 0)
+    chunk = lambda d: pl.BlockSpec((b, tc, d), rev,
+                                   memory_space=pltpu.VMEM)
+    state = pl.BlockSpec((b, h), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    t_real = dys.shape[1]
+    dys_p, _ = _pad_time(dys, PAD_T)
+    dx, dh0, dc0, dwih, dwhh, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_layer, t_real=t_real),
+        grid=(nt,),
+        in_specs=[
+            chunk(g4), chunk(g4), chunk(h), chunk(din), chunk(h),
+            full(w_ih_t.shape), full(w_hh_t.shape), state, state,
+        ],
+        out_specs=(
+            chunk(din), state, state,
+            full((din, g4)), full((h, g4)), full((1, g4)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, din), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((din, g4), jnp.float32),
+            jax.ShapeDtypeStruct((h, g4), jnp.float32),
+            jax.ShapeDtypeStruct((1, g4), jnp.float32),
+        ),
+        compiler_params=_COMPILER_PARAMS,
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, tc, g4), jnp.float32),
+        ],
+    )(as_, ms, ysp, x_p, dys_p, w_ih_t, w_hh_t, dhn, dcn)
+    return dx[:, :t_real], dh0, dc0, dwih, dwhh, db[0]
+
+
+_fwd_acts_sharded = shard_batch_dim(
+    _fwd_acts_impl, batch_args=(0, 2, 3),
+    out_is_batched=(True, True, True, True, True),
+    # 's' for every trajectory: they stay PAD_T-padded
+    sharding_rule="b t g, h g, b h, b h -> b s h, b s g, b s g, b h, b h",
+)
+_bwd_layer_sharded = shard_batch_dim(
+    _bwd_layer_impl, batch_args=(2, 3, 4, 5, 6, 7, 8),
+    out_is_batched=(True, True, True, False, False, False),
+    reduce_outs=(3, 4, 5),
+    sharding_rule=(
+        "i g, h g, b s h, b s i, b s g, b s g, b t h, b h, b h "
+        "-> b t i, b h, b h, i g, h g, g"
+    ),
+)
+
+
+@jax.custom_vjp
+def lstm_layer(x, w_ih_t, b_sum, w_hh_t, h0, c0):
+    """One fused LSTM layer: input projection + recurrence, with the
+    fully-fused backward described above.
+
+    x:      (B, T, din) float32 (callers cast)
+    w_ih_t: (din, 4H) = W_ih^T; dtype selects MXU matmul precision
+    b_sum:  (4H,) = b_ih + b_hh, float32
+    w_hh_t: (H, 4H)
+    h0, c0: (B, H) float32
+    Returns (ys (B, T, H), (h_n, c_n)).
+    """
+    xw = (
+        jnp.einsum(
+            "bti,ig->btg", x, w_ih_t, preferred_element_type=jnp.float32
+        )
+        + b_sum
+    ).astype(jnp.float32)
+    ys, _, hn, cn = _fwd_sharded(xw, w_hh_t, h0, c0)
+    return ys, (hn, cn)
+
+
+def _layer_vjp_fwd(x, w_ih_t, b_sum, w_hh_t, h0, c0):
+    xw = (
+        jnp.einsum(
+            "bti,ig->btg", x, w_ih_t, preferred_element_type=jnp.float32
+        )
+        + b_sum
+    ).astype(jnp.float32)
+    ys, as_, ms, hn, cn = _fwd_acts_sharded(xw, w_hh_t, h0, c0)
+    t = x.shape[1]
+    out = (ys[:, :t], (hn, cn))
+    return out, (x, w_ih_t, w_hh_t, h0, c0, ys, as_, ms)
+
+
+def _layer_vjp_bwd(res, cot):
+    x, w_ih_t, w_hh_t, h0, c0, ys_p, as_, ms = res
+    dys, (dhn, dcn) = cot
+    # one-step-right-shifted h trajectory with h0 in slot 0
+    ysp = jnp.concatenate([h0[:, None], ys_p[:, :-1]], axis=1)
+    x_p, _ = _pad_time(x.astype(jnp.float32), PAD_T)
+    dx, dh0, dc0, dwih, dwhh, db = _bwd_layer_sharded(
+        w_ih_t, w_hh_t, ysp, x_p, as_, ms,
+        dys.astype(jnp.float32),
+        dhn.astype(jnp.float32), dcn.astype(jnp.float32),
+    )
+    return (
+        dx.astype(x.dtype),
+        dwih.astype(w_ih_t.dtype),
+        db,
+        dwhh.astype(w_hh_t.dtype),
+        dh0,
+        dc0,
+    )
+
+
+lstm_layer.defvjp(_layer_vjp_fwd, _layer_vjp_bwd)
+
+
 @jax.custom_vjp
 def lstm_recurrence(xw, w_hh_t, h0, c0):
     """Fused LSTM over precomputed input projections.

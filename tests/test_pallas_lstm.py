@@ -223,3 +223,100 @@ def test_large_batch_adaptive_chunk(b):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=name
         )
+
+
+def _layer_ref(x, w_ih_t, b_sum, w_hh_t, h0, c0):
+    """Scan ground truth for the fully-fused layer op."""
+    xw = jnp.einsum("bti,ig->btg", x, w_ih_t) + b_sum
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, -1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (hn, cn), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xw, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), hn, cn
+
+
+@pytest.mark.parametrize("t", [16, 37])
+def test_fused_layer_forward_and_grads_match_scan(t):
+    """lstm_layer (round-5 fully-fused layer: in-kernel dx/dW/db over
+    the wide A/M residuals) must match the scan layer, gradients for
+    every input included."""
+    b, h, din = 3, 16, 24
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    x = jax.random.normal(ks[0], (b, t, din)) * 0.5
+    w_ih_t = jax.random.normal(ks[1], (din, 4 * h)) * 0.2
+    b_sum = jax.random.normal(ks[2], (4 * h,)) * 0.1
+    w_hh_t = jax.random.normal(ks[3], (h, 4 * h)) * 0.2
+    h0 = jax.random.normal(ks[4], (b, h)) * 0.1
+    c0 = jax.random.normal(ks[5], (b, h)) * 0.1
+    args = (x, w_ih_t, b_sum, w_hh_t, h0, c0)
+
+    ys, (hn, cn) = pallas_lstm.lstm_layer(*args)
+    ys_ref, hn_ref, cn_ref = _layer_ref(*args)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_ref), atol=1e-5)
+
+    def loss_p(*a):
+        ys, (hn, cn) = pallas_lstm.lstm_layer(*a)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    def loss_s(*a):
+        ys, hn, cn = _layer_ref(*a)
+        return jnp.sum(ys**2) + jnp.sum(hn * 0.5) + jnp.sum(cn * 0.25)
+
+    argnums = tuple(range(6))
+    g_p = jax.grad(loss_p, argnums=argnums)(*args)
+    g_s = jax.grad(loss_s, argnums=argnums)(*args)
+    names = ("dx", "dwih", "db", "dwhh", "dh0", "dc0")
+    for a, b_, name in zip(g_p, g_s, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, err_msg=name
+        )
+
+
+def test_torchlstm_routes_through_fused_layer(monkeypatch):
+    """TorchLSTM single layer with 128-aligned dims must route through
+    lstm_layer when MRGEN_FUSED_DW is on and match the scan module,
+    gradients included; MRGEN_FUSED_DW=0 must keep the old path green."""
+    from multimodalreactiongeneration_tpu.nn.recurrent import TorchLSTM
+
+    b, t, h, din = 2, 20, 128, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, din)) * 0.3
+    h0 = jax.random.normal(jax.random.PRNGKey(1), (1, b, h)) * 0.1
+    c0 = jax.random.normal(jax.random.PRNGKey(2), (1, b, h)) * 0.1
+    scan_mod = TorchLSTM(input_size=din, hidden_size=h, num_layers=1,
+                         impl="scan")
+    pallas_mod = TorchLSTM(input_size=din, hidden_size=h, num_layers=1,
+                           impl="pallas")
+    params = scan_mod.init(jax.random.PRNGKey(3), x)
+
+    def loss(mod):
+        def f(p, x):
+            ys, (hn, cn) = mod.apply(p, x, (h0, c0))
+            return jnp.sum(ys**2) + jnp.sum(hn) + jnp.sum(cn * 0.5)
+        return f
+
+    g_s = jax.grad(loss(scan_mod), argnums=(0, 1))(params, x)
+    for flag in ("1", "0"):
+        monkeypatch.setenv("MRGEN_FUSED_DW", flag)
+        ys_s, _ = scan_mod.apply(params, x, (h0, c0))
+        ys_p, _ = pallas_mod.apply(params, x, (h0, c0))
+        np.testing.assert_allclose(
+            np.asarray(ys_p), np.asarray(ys_s), atol=1e-5,
+            err_msg=f"flag={flag}",
+        )
+        g_p = jax.grad(loss(pallas_mod), argnums=(0, 1))(params, x)
+        for (path, a), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_p),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), atol=3e-4,
+                err_msg=f"flag={flag} {jax.tree_util.keystr(path)}",
+            )
