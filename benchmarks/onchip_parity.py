@@ -173,11 +173,69 @@ def check_rollout(record):
     assert err < 1e-4, err
 
 
+def check_attention(record):
+    """Metaformer fwd loss + param grads: fused rect-attention kernel
+    (MRGEN_FUSED_ATTN) vs the XLA mask path, on the real chip, f32."""
+    import bench
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+
+    cfg = dict(bench.BENCH_CFG)
+    b, t, lead, ratio = 4, 120, 4, bench.RATIO
+    ks = jax.random.split(jax.random.PRNGKey(60), 7)
+    data = (
+        jax.random.normal(ks[0], (b, t * ratio, 81)),
+        jax.random.normal(ks[1], (b, t, 18)),
+        jax.random.normal(ks[2], (b, t, 18)),
+        jax.random.normal(ks[3], (b, lead * ratio, 81)),
+        jax.random.normal(ks[4], (b, lead, 18)),
+        jax.random.normal(ks[5], (b, lead, 18)),
+        jax.random.normal(ks[6], (b, t, 18)),
+    )
+    model = Metaformer(cfg=cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(61), *data[:6])
+
+    def loss(p):
+        out = model.apply(p, *data[:6])
+        out = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(out**2)
+
+    grads = {}
+    for flag in ("0", "auto"):
+        os.environ["MRGEN_FUSED_ATTN"] = flag
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        grads[flag] = (float(l), g)
+    os.environ.pop("MRGEN_FUSED_ATTN", None)
+    l0, g0 = grads["0"]
+    l1, g1 = grads["auto"]
+    record["attn_loss_absdiff"] = abs(l1 - l0)
+    worst = 0.0
+    for (pa, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        # scale floor: k_proj_bias grads are ANALYTICALLY zero (a
+        # constant key bias shifts every logit in a row equally —
+        # softmax invariant), so both paths emit ~1e-7 noise there and
+        # a bare relative metric explodes on it
+        rel = float(jnp.max(jnp.abs(a - b_))) / max(
+            float(jnp.max(jnp.abs(a))), 1e-4
+        )
+        worst = max(worst, rel)
+    record["attn_grad_rel"] = worst
+    # the XLA f32 path runs at DEFAULT TPU matmul precision
+    # (single-pass bf16 operands) while the kernel's f32 dots are
+    # multi-pass exact — the kernel is the more accurate side, and the
+    # comparison carries the XLA path's ~1e-3 relative logits noise
+    assert abs(l1 - l0) < 1e-3, (l0, l1)
+    assert worst < 5e-2, worst
+
+
 CHECKS = {
     "stacked": check_stacked,
     "single": check_single,
     "gru": check_gru,
     "rollout": check_rollout,
+    "attention": check_attention,
 }
 
 
@@ -190,7 +248,9 @@ def main():
         os.environ.get("MRGEN_JAX_CACHE", "~/.cache/mrgen-jax-cache")
     )
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checks", default="stacked,single,gru,rollout")
+    ap.add_argument(
+        "--checks", default="stacked,single,gru,rollout,attention"
+    )
     args = ap.parse_args()
 
     dev = str(jax.devices()[0])

@@ -108,8 +108,13 @@ class Metaformer(nn.Module):
         )
         integ = _layerd_config("mha", cfg, cfg["num_layerd"])
         integ["self_attention"] = False
+        # rect_pad_masks: the training cross-masks are always
+        # ops/masks.merged_attention_mask products (forward() below), so
+        # the integrators' uncached attention may take the fused
+        # rect-attention kernel path (nn/attention.py attend)
         integrate_configs = tuple(
-            dict(integ) for _ in range(len(cfg["modalities"]) - 1)
+            dict(integ, rect_pad_masks=True)
+            for _ in range(len(cfg["modalities"]) - 1)
         )
         ff = dict(
             hidden_size=cfg["hidden_size"],

@@ -86,8 +86,28 @@ def scaled_dot_attention(
     )
 
 
+def _rect_attn_enabled() -> bool:
+    """MRGEN_FUSED_ATTN: '0' off, 'force' always (interpret tests),
+    default auto = on when the backend is TPU."""
+    import os
+
+    v = os.environ.get("MRGEN_FUSED_ATTN", "auto")
+    if v == "0":
+        return False
+    if v == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 class TorchMHA(nn.Module):
-    """torch.nn.MultiheadAttention(batch_first=True) equivalent."""
+    """torch.nn.MultiheadAttention(batch_first=True) equivalent.
+
+    rect_pad_masks=True declares that any rank-3 attn_mask passed to
+    plain (uncached) attention is a rect-causal | pad-pair mask built by
+    ops/masks.merged_attention_mask — enabling the fused Pallas
+    attention path, which reconstructs the pad vectors from the mask
+    (exact for such masks) and never materializes (B, H, Lq, Lk)
+    scores in HBM (ops/pallas_rect_attention.py)."""
 
     embed_dim: int
     num_heads: int
@@ -95,6 +115,7 @@ class TorchMHA(nn.Module):
     kdim: Optional[int] = None
     vdim: Optional[int] = None
     use_bias: bool = True
+    rect_pad_masks: bool = False
 
     def setup(self):
         e = self.embed_dim
@@ -141,18 +162,57 @@ class TorchMHA(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
+        rect_pad_hint: bool = False,
     ) -> jnp.ndarray:
-        """Attention over ALREADY-projected K/V (both (B,S,E))."""
+        """Attention over ALREADY-projected K/V (both (B,S,E)).
+
+        rect_pad_hint (set by __call__ on rect_pad_masks modules, never
+        by the decode cache paths whose masks have other shapes) routes
+        rate-aligned rank-3 masks to the fused rect-attention kernel."""
         e, h = self.embed_dim, self.num_heads
         dh = e // h
         batch, q_len = query.shape[0], query.shape[1]
         k_len = k_proj.shape[1]
 
-        q = jnp.einsum("blk,ek->ble", query, self.w_q) + self.b_q
-        q = q.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
+        q_flat = jnp.einsum("blk,ek->ble", query, self.w_q) + self.b_q
+
+        if (
+            rect_pad_hint
+            and attn_mask is not None
+            and attn_mask.ndim == 3
+            and attn_mask.shape[0] == batch
+            and (q_len % k_len == 0 or k_len % q_len == 0)
+            and _rect_attn_enabled()
+        ):
+            from multimodalreactiongeneration_tpu.ops.masks import (
+                rectangular_causal_mask,
+            )
+            from multimodalreactiongeneration_tpu.ops.pallas_rect_attention import (
+                rect_attention,
+            )
+
+            # pad vectors back out of the merged mask — exact for
+            # masks built by ops/masks.merged_attention_mask (the pad
+            # part is an outer product of the indicators). The kernel
+            # folds heads internally and consumes/produces the
+            # projection layout (B, L, E) directly — no head
+            # transposes materialize on this path.
+            pp = attn_mask & ~rectangular_causal_mask(q_len, k_len)[None]
+            ctx_flat = rect_attention(
+                h, q_flat, k_proj, v_proj, pp.any(axis=2), pp.any(axis=1)
+            )
+            if self.dropout > 0 and not deterministic:
+                ctx_flat = nn.Dropout(self.dropout)(
+                    ctx_flat, deterministic=False
+                )
+            return (
+                jnp.einsum("ble,oe->blo", ctx_flat, self.out_w)
+                + self.out_b
+            )
+
+        q = q_flat.reshape(batch, q_len, h, dh).transpose(0, 2, 1, 3)
         k = k_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
         v = v_proj.reshape(batch, k_len, h, dh).transpose(0, 2, 1, 3)
-
         mask = _broadcast_mask(attn_mask, batch, h, q_len, k_len)
         ctx = scaled_dot_attention(q, k, v, mask)
         if self.dropout > 0 and not deterministic:
@@ -262,5 +322,6 @@ class TorchMHA(nn.Module):
     ) -> jnp.ndarray:
         k, v = self.project_kv(key, value)
         return self.attend(
-            query, k, v, attn_mask, deterministic=deterministic
+            query, k, v, attn_mask, deterministic=deterministic,
+            rect_pad_hint=self.rect_pad_masks,
         )

@@ -177,6 +177,7 @@ class MHAMixerBlock(nn.Module):
     residual_layer_norm: bool = False
     bottleneck_size: Optional[int] = None
     use_bias: bool = True
+    rect_pad_masks: bool = False
 
     @nn.compact
     def __call__(
@@ -202,6 +203,7 @@ class MHAMixerBlock(nn.Module):
                 kdim=self.kdim,
                 vdim=self.vdim,
                 use_bias=self.use_bias,
+                rect_pad_masks=self.rect_pad_masks,
                 name=f"mha_{i}",
             )
             if shared_raw is not None:
@@ -463,6 +465,7 @@ class MHAMixerLayerd(nn.Module):
     residual_layer_norm: bool = False
     bottleneck_size: Optional[int] = None
     use_bias: bool = True
+    rect_pad_masks: bool = False
 
     @nn.compact
     def __call__(
@@ -509,6 +512,7 @@ class MHAMixerLayerd(nn.Module):
                 residual_layer_norm=self.residual_layer_norm,
                 bottleneck_size=self.bottleneck_size,
                 use_bias=self.use_bias,
+                rect_pad_masks=self.rect_pad_masks,
                 name=f"block_{i}",
             )(query, key, value, attn_mask, cache, shared_raw,
               deterministic=deterministic)
