@@ -28,7 +28,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from multimodalreactiongeneration_tpu.data.head_io import (
+    ZERO_PADDING,
     load_head_file,
+    loads_head,
     write_head_frame,
 )
 from multimodalreactiongeneration_tpu.utils.wavio import (
@@ -353,6 +355,94 @@ def duration_anomaly(root: str, fps: float = 25.0, tolerance: float = 1.0):
     return report
 
 
+def migrate_split_head(target: str, output: str) -> int:
+    """Reference scripts/patch/patch_for_save.py:1-44: split MONOLITHIC
+    ``.head`` pickles (one list of frames per recording — the
+    pre-per-frame-era format) into the per-frame ``(idx, frame)`` pickle
+    directories the production loaders read, copying wavs alongside.
+    ``None`` frames are preserved (the reference dumps every entry).
+    Returns the number of frame files written."""
+    n = 0
+    for dirpath, _dirs, files in os.walk(target):
+        rel = os.path.relpath(dirpath, target)
+        outdir = os.path.normpath(os.path.join(output, rel))
+        for fname in sorted(files):
+            src = os.path.join(dirpath, fname)
+            if fname.endswith(".wav"):
+                os.makedirs(outdir, exist_ok=True)
+                shutil.copy2(src, os.path.join(outdir, fname))
+                continue
+            if not fname.endswith(".head"):
+                continue
+            base = fname.rsplit(".", 1)[0]
+            head_dir = os.path.join(outdir, base)
+            os.makedirs(head_dir, exist_ok=True)
+            with open(src, "rb") as f:
+                frames = loads_head(f.read())
+            for i, frame in enumerate(frames):
+                out = os.path.join(
+                    head_dir,
+                    f"{base}_{str(i).zfill(ZERO_PADDING)}.head",
+                )
+                write_head_frame(out, i, frame)
+                n += 1
+    return n
+
+
+def migrate_stamp_fps(target: str, output: str, fps: float = 25.0) -> int:
+    """Reference scripts/patch/patch_for_faceadpter.py:1-30: re-stamp
+    ``time``/``frame_no``/``fps`` on every frame of monolithic ``.head``
+    pickles, DROPPING undetected (None) frames like the reference, and
+    write the repaired monolithic file to the mirrored output tree.
+    Returns the number of files migrated."""
+    import pickle
+
+    n = 0
+    for dirpath, _dirs, files in os.walk(target):
+        rel = os.path.relpath(dirpath, target)
+        outdir = os.path.normpath(os.path.join(output, rel))
+        for fname in sorted(files):
+            if not fname.endswith(".head"):
+                continue
+            with open(os.path.join(dirpath, fname), "rb") as f:
+                frames = loads_head(f.read())
+            kept = []
+            for i, frame in enumerate(frames):
+                if frame is None:
+                    continue
+                frame.time = i / fps
+                frame.frame_no = i
+                frame.fps = fps
+                kept.append(frame)
+            os.makedirs(outdir, exist_ok=True)
+            with open(os.path.join(outdir, fname), "wb") as f:
+                pickle.dump(kept, f)
+            n += 1
+    return n
+
+
+def migrate_copy_wavs(target: str, output: str) -> int:
+    """Reference scripts/patch/patch_for_wav.py:1-18: mirror the
+    host/comp wavs from one corpus tree into another (skip existing).
+    Returns the number of files copied."""
+    n = 0
+    for dirpath, _dirs, files in os.walk(target):
+        rel = os.path.relpath(dirpath, target)
+        outdir = os.path.normpath(os.path.join(output, rel))
+        for fname in sorted(files):
+            if not fname.endswith(".wav"):
+                continue
+            if "host" not in fname and "comp" not in fname:
+                continue
+            dst = os.path.join(outdir, fname)
+            if os.path.isfile(dst):
+                continue
+            os.makedirs(outdir, exist_ok=True)
+            shutil.copy(os.path.join(dirpath, fname), dst)
+            n += 1
+    return n
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -390,6 +480,16 @@ def main(argv=None):
     p.add_argument("--target", required=True)
     p.add_argument("--threshold", type=float, default=8.0)
     p.add_argument("--hist-dir", default=None)
+    p = sub.add_parser("migrate-split-head")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", required=True)
+    p = sub.add_parser("migrate-stamp-fps")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--fps", type=float, default=25.0)
+    p = sub.add_parser("migrate-copy-wavs")
+    p.add_argument("--target", required=True)
+    p.add_argument("--output", required=True)
 
     args = parser.parse_args(argv)
     if args.cmd == "rename":
@@ -437,6 +537,15 @@ def main(argv=None):
                 n = backfill_missing_frames(dirpath)
                 if n:
                     print(f"{dirpath}: backfilled {n} placeholders")
+    elif args.cmd == "migrate-split-head":
+        n = migrate_split_head(args.target, args.output)
+        print(f"wrote {n} per-frame files")
+    elif args.cmd == "migrate-stamp-fps":
+        n = migrate_stamp_fps(args.target, args.output, args.fps)
+        print(f"migrated {n} head files")
+    elif args.cmd == "migrate-copy-wavs":
+        n = migrate_copy_wavs(args.target, args.output)
+        print(f"copied {n} wavs")
 
 
 if __name__ == "__main__":

@@ -333,3 +333,81 @@ def test_best_lag_index_exceeding_half_fft():
     a = (0.2 * rng.standard_normal(7000)).astype(np.float32)
     b = a[6000:6500]  # circular index 6000 > n_fft//2 = 4096, < len(a)
     assert best_lag(a, b) == -6000
+
+
+def _monolithic_head(path, n=6, none_at=(2,)):
+    """Write a pre-split-era monolithic .head pickle (a bare list of
+    frames, reference patch_for_save input format)."""
+    import pickle
+
+    frames = []
+    for i in range(n):
+        if i in none_at:
+            frames.append(None)
+        else:
+            frames.append(HeadFrame(
+                angle=np.array([float(i), 0.0, 0.0]),
+                centroid=np.array([0.0, float(i), 0.0]),
+                time=-1.0, frame_no=-1, fps=0.0,
+            ))
+    with open(path, "wb") as f:
+        pickle.dump(frames, f)
+    return frames
+
+
+def test_migrate_split_head(tmp_path):
+    """patch_for_save semantics: monolithic .head -> per-frame (i, d)
+    pickles in a same-named dir, wavs copied, None frames preserved."""
+    from multimodalreactiongeneration_tpu.data.head_io import load_head_file
+
+    src = tmp_path / "corpus" / "s0"
+    src.mkdir(parents=True)
+    _monolithic_head(src / "comp.head", n=5, none_at=(3,))
+    (src / "comp.wav").write_bytes(b"RIFFfake")
+    out = tmp_path / "migrated"
+    n = ops.migrate_split_head(str(tmp_path / "corpus"), str(out))
+    assert n == 5
+    head_dir = out / "s0" / "comp"
+    files = sorted(os.listdir(head_dir))
+    assert files == [f"comp_{str(i).zfill(5)}.head" for i in range(5)]
+    idx, frame = load_head_file(str(head_dir / files[1]))
+    assert idx == 1 and float(frame.angle[0]) == 1.0
+    idx3, frame3 = load_head_file(str(head_dir / files[3]))
+    assert idx3 == 3 and frame3 is None
+    assert (out / "s0" / "comp.wav").read_bytes() == b"RIFFfake"
+
+
+def test_migrate_stamp_fps(tmp_path):
+    """patch_for_faceadpter semantics: drop None frames, restamp
+    time/frame_no/fps from the ORIGINAL index, monolithic output."""
+    from multimodalreactiongeneration_tpu.data.head_io import loads_head
+
+    src = tmp_path / "corpus" / "s0"
+    src.mkdir(parents=True)
+    _monolithic_head(src / "comp.head", n=4, none_at=(1,))
+    out = tmp_path / "migrated"
+    n = ops.migrate_stamp_fps(str(tmp_path / "corpus"), str(out), fps=25.0)
+    assert n == 1
+    frames = loads_head((out / "s0" / "comp.head").read_bytes())
+    assert len(frames) == 3  # None dropped
+    # frame originally at index 2 keeps ITS index stamps
+    assert frames[1].frame_no == 2 and frames[1].time == 2 / 25.0
+    assert frames[1].fps == 25.0
+
+
+def test_migrate_copy_wavs(tmp_path):
+    """patch_for_wav semantics: host/comp wavs mirrored, existing files
+    and non-host/comp wavs skipped."""
+    src = tmp_path / "formd" / "s0"
+    src.mkdir(parents=True)
+    (src / "host.wav").write_bytes(b"h")
+    (src / "comp.wav").write_bytes(b"c")
+    (src / "pair.wav").write_bytes(b"p")  # not host/comp -> skipped
+    out = tmp_path / "features"
+    (out / "s0").mkdir(parents=True)
+    (out / "s0" / "host.wav").write_bytes(b"OLD")  # existing -> kept
+    n = ops.migrate_copy_wavs(str(tmp_path / "formd"), str(out))
+    assert n == 1
+    assert (out / "s0" / "host.wav").read_bytes() == b"OLD"
+    assert (out / "s0" / "comp.wav").read_bytes() == b"c"
+    assert not (out / "s0" / "pair.wav").exists()
