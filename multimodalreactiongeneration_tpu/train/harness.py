@@ -540,9 +540,20 @@ class Trainer:
             # (Lightning ModelCheckpoint semantics); avoids V{e}-nan files
             # One device snapshot shared by all three monitors: the d2h
             # fetch (the expensive half of a save on remote runtimes) is
-            # paid once per check, not once per monitor
+            # paid once per check, not once per monitor.
+            # callbacks.save_opt_state: "last" (default) keeps optimizer
+            # state only in the `last` checkpoint — resume always goes
+            # through `last`, and dropping the adam moments from top-k
+            # saves cuts each monitor transfer ~2/3 (params 52 MB vs
+            # +104 MB opt at production size). "all" restores the
+            # Lightning-style full payload in every file.
+            snap_opt = (
+                opt_state
+                if self.callbacks.get("save_opt_state", "last") == "all"
+                else None
+            )
             snap = (
-                ckpt_lib.DeviceSnapshot(params, opt_state)
+                ckpt_lib.DeviceSnapshot(params, snap_opt)
                 if savers
                 else None
             )

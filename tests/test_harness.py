@@ -463,3 +463,48 @@ def test_async_checkpointing_matches_sync(loaders, tmp_path):
     for a, b in zip(la, ls):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert pa["epoch"] == ps["epoch"] == 2
+
+
+def test_save_opt_state_last_mode(loaders, tmp_path):
+    """callbacks.save_opt_state default ("last"): top-k monitor files
+    carry params only (the ~2/3 adam-state transfer is skipped); `last`
+    keeps the full payload so resume is lossless."""
+    from multimodalreactiongeneration_tpu.train.checkpoint import (
+        load_checkpoint,
+        restore_opt_state,
+    )
+
+    train_loader, val_loader, _ = loaders
+    model = LSTMwithSample(cfg=LWS_MODEL_CFG)
+    batch = next(iter(train_loader))
+    data = [b[0] for b in batch]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *data[:6])
+    optimizer = build_optimizer(OPTIM)
+    train_step, eval_step = streaming_step_fns(
+        model, LWS_MODEL_CFG, MOTION_CFG, optimizer,
+        mask_self_motion_input=False,
+    )
+    trainer = Trainer(
+        model, train_step, eval_step, optimizer, OPTIM,
+        callbacks_cfg=dict(save_top_k=2, use_checkpoint=True,
+                           use_early_stopping=False, patience_epoch=10),
+        log_dir=str(tmp_path / "log"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    params, result = trainer.fit(
+        params, train_loader, val_loader, max_epochs=2
+    )
+    import os
+
+    entries = os.listdir(tmp_path / "ckpt")
+    v_files = [e for e in entries if e.startswith("V")]
+    assert v_files and "last" in entries
+    top = load_checkpoint(str(tmp_path / "ckpt" / v_files[0]))
+    assert top.get("opt_leaves") is None  # params-only monitor file
+    assert "params" in top
+    last = load_checkpoint(str(tmp_path / "ckpt" / "last"))
+    assert last.get("opt_leaves") is not None  # full resume payload
+    restored = restore_opt_state(last, optimizer, last["params"])
+    assert restored is not None
+    # restore from a params-only top-k file degrades gracefully
+    assert restore_opt_state(top, optimizer, top["params"]) is None
