@@ -187,16 +187,43 @@ def _pad_to(x, axis, mult):
     return x
 
 
+def _operand_dtype(dtype):
+    """Matmul-operand dtype matching the XLA path's EFFECTIVE precision.
+
+    The XLA attention this kernel replaces runs f32 einsums at XLA's
+    default TPU matmul precision — single-pass bf16 operand truncation.
+    An f32 Mosaic dot is the 6x multi-pass decomposition, so keeping
+    f32 operands here would make the f32-config train step SLOWER than
+    the path it replaces while claiming extra precision the XLA side
+    never had. bf16 inputs stay bf16; f32 inputs are truncated to bf16
+    UNLESS the user asked for real f32 matmuls via
+    jax.default_matmul_precision("highest"/"float32") — the escape
+    hatch the parity drive uses.
+    """
+    if dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    if jax.default_backend() != "tpu":
+        # CPU/GPU f32 einsums are true f32 — match them (also keeps
+        # the interpret-mode parity tests exact)
+        return dtype
+    prec = jax.config.jax_default_matmul_precision
+    if prec in ("highest", "float32"):
+        return jnp.float32
+    return jnp.bfloat16
+
+
 def _prep(q, k, v, q_pad, k_pad, g=None):
-    """Pad Lq to BLOCK_Q and Lk to the sublane quantum (8); pads become
-    rank-3 int32 (B, L, 1)."""
-    q = _pad_to(q, 1, BLOCK_Q)
+    """Pad Lq to BLOCK_Q and Lk to the sublane quantum (8); cast
+    matmul operands per _operand_dtype; pads become rank-3 int32
+    (B, L, 1)."""
+    mm = _operand_dtype(q.dtype)
+    q = _pad_to(q.astype(mm), 1, BLOCK_Q)
     q_pad = _pad_to(q_pad.astype(jnp.int32)[..., None], 1, BLOCK_Q)
-    k = _pad_to(k, 1, 8)
-    v = _pad_to(v, 1, 8)
+    k = _pad_to(k.astype(mm), 1, 8)
+    v = _pad_to(v.astype(mm), 1, 8)
     k_pad = _pad_to(k_pad.astype(jnp.int32)[..., None], 1, 8)
     if g is not None:
-        g = _pad_to(g, 1, BLOCK_Q)
+        g = _pad_to(g.astype(mm), 1, BLOCK_Q)
     return q, k, v, q_pad, k_pad, g
 
 
