@@ -108,7 +108,7 @@ def _split_gates4(gates, h):
 def _fwd_kernel(
     x0_ref, wih_ref, bg_ref, whh_ref, wff_ref, bff_ref,
     g1_ref, b1_ref, g2_ref, b2_ref, h0_ref, c0_ref,
-    gs_ref, cs_ref, hs_ref, os_ref, hn_ref, cn_ref,
+    as_ref, ms_ref, hs_ref, os_ref, hn_ref, cn_ref,
     h_scr, c_scr, xin_scr,
     *, t_real, num_layers,
 ):
@@ -150,17 +150,31 @@ def _fwd_kernel(
                 + bg_ref[l]
             )
             ii, ff, gg, oo = _split_gates4(gates, hdim)
-            c = ff * c_scr[l] + ii * gg
-            rnn = oo * jnp.tanh(c)
+            c_prev = c_scr[l]
+            c = ff * c_prev + ii * gg
+            tanh_c = jnp.tanh(c)
+            rnn = oo * tanh_c
             tt = s - l * tc
             valid = jnp.logical_and(tt >= 0, tt < t_real)
             h_new = jnp.where(valid, rnn, h_l)
-            c_new = jnp.where(valid, c, c_scr[l])
+            c_new = jnp.where(valid, c, c_prev)
             h_scr[l] = h_new
             c_scr[l] = c_new
-            gs_ref[:, l, k] = gates
             hs_ref[:, l, k] = h_new
-            cs_ref[:, l, k] = c_new
+            # wide backward residuals (round 5): A = [i, f, g, o] and
+            # M = [g, c_prev, i, tanh(c)] via lane-sliced quarter
+            # stores (a lane concat here measured ~1 ms/fwd on the
+            # stacked kernel); c_prev is pre-update, so each block's
+            # first valid step reads c0 — the shift the old path built
+            # with a host-side concat
+            as_ref[:, l, k, :hdim] = ii
+            as_ref[:, l, k, hdim : 2 * hdim] = ff
+            as_ref[:, l, k, 2 * hdim : 3 * hdim] = gg
+            as_ref[:, l, k, 3 * hdim :] = oo
+            ms_ref[:, l, k, :hdim] = gg
+            ms_ref[:, l, k, hdim : 2 * hdim] = c_prev
+            ms_ref[:, l, k, 2 * hdim : 3 * hdim] = ii
+            ms_ref[:, l, k, 3 * hdim :] = tanh_c
         return 0
 
     jax.lax.fori_loop(0, tc, cell, 0)
@@ -197,26 +211,34 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    gs_ref, csp_ref, hs_ref, xs_ref, dys_ref,
+    as_ref, ms_ref, hsp_ref, hs_ref, xs_ref, dys_ref,
     wih_ref, whh_ref, wff_ref, bff_ref, g1_ref, b1_ref, g2_ref,
     dhn_ref, dcn_ref,
-    dgs_ref, dh0_ref, dc0_ref,
-    dh_scr, dc_scr, dx_scr, dr1_scr,
+    dx0_ref, dh0_ref, dc0_ref,
+    dwih_ref, dbg_ref, dwhh_ref, dwff_ref, dbff_ref,
+    dg1_ref, db1_ref, dg2_ref, db2_ref,
+    dh_scr, dc_scr, dx_scr, dr1_scr, dgc_scr,
     *, t_real, num_layers,
 ):
-    """Reverse chunk-lag wavefront; emits the dgates trajectory only.
+    """Reverse chunk-lag wavefront, fully fused (round-5 rewrite).
 
-    Streams saved gates, the one-slot-shifted c trajectory, the h
-    trajectory (h == rnn at valid slots) and xs (block inputs: x0 for
-    block 0, the K-slot-shifted out trajectory of the block below
-    otherwise). Per grid step: batched tail-bwd (dout -> dr2 -> dy ->
-    dr1 at (B, L, K, H) width), K reverse layer-batched cell steps,
-    then the batched dx chunk for the block below, carried in scratch.
+    Streams the wide A/M residuals, the one-slot-shifted h trajectory
+    (for dW_hh), the h trajectory (tail recompute) and xs (block
+    inputs). Per grid step: batched tail-bwd at (L, B, K, H) width, K
+    reverse WIDE-FORM cell steps (zero transcendentals — A/M carry the
+    activations), then the batched dx chunk for the block below. Every
+    weight/bias/LN gradient accumulates into constant-index output
+    blocks per chunk (contraction width B*K), so nothing
+    trajectory-sized leaves the kernel except dx0 — the round-4 design
+    emitted the (B, L, S, 4H) dgates trajectory and re-derived all nine
+    parameter grads with a full-sequence recompute + einsums outside
+    (~12 ms at the audio-encoder shape).
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
-    tc = gs_ref.shape[2]
-    hdim = csp_ref.shape[-1]
+    tc = as_ref.shape[2]
+    hdim = hs_ref.shape[-1]
+    b = as_ref.shape[0]
     L = num_layers
 
     @pl.when(t == 0)
@@ -225,6 +247,15 @@ def _bwd_kernel(
             dh_scr[l] = dhn_ref[:, l]
             dc_scr[l] = dcn_ref[:, l]
         dx_scr[:] = jnp.zeros_like(dx_scr)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbg_ref[:] = jnp.zeros_like(dbg_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dwff_ref[:] = jnp.zeros_like(dwff_ref)
+        dbff_ref[:] = jnp.zeros_like(dbff_ref)
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dg2_ref[:] = jnp.zeros_like(dg2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
 
     g = nt - 1 - t  # forward grid index of this chunk
 
@@ -266,36 +297,52 @@ def _bwd_kernel(
     # and Mosaic TC cannot dynamic_slice an array value
     dr1_scr[:] = dr1
 
-    # ---- phase 2: K reverse cell steps, per-layer static ops ----
+    # tail parameter grads, accumulated per chunk (dout/dy are zero at
+    # invalid slots by construction of the dx/dys chains)
+    mm = wff_ref.dtype
+    y2 = y.reshape(L, b * tc, hdim)
+    dr2_2 = dr2.reshape(L, b * tc, hdim)
+    dwff_ref[:] += jax.lax.dot_general(
+        y2.astype(mm), dr2_2.astype(mm),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dbff_ref[:] += jnp.sum(dr2, axis=(1, 2))
+    dg2_ref[:] += jnp.sum(dout * xhat2, axis=(1, 2))
+    db2_ref[:] += jnp.sum(dout, axis=(1, 2))
+    dg1_ref[:] += jnp.sum(dy * xhat1, axis=(1, 2))
+    db1_ref[:] += jnp.sum(dy, axis=(1, 2))
+
+    # per-quarter lane masks for the wide-form cell chain
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 4 * hdim), 1)
+    mask_g = jnp.logical_and(lane >= 2 * hdim, lane < 3 * hdim)
+    mask_o = lane >= 3 * hdim
+
+    # ---- phase 2: K reverse WIDE-FORM cell steps ----
     def cell(j, _):
         k = tc - 1 - j
         s = g * tc + k
         for l in range(L):
-            gates = gs_ref[:, l, k]
-            c_prev = csp_ref[:, l, k]
-            ii, ff, gg, oo = _split_gates4(gates, hdim)
-            c = ff * c_prev + ii * gg
-            tanh_c = jnp.tanh(c)
+            acts = as_ref[:, l, k]  # A = [i, f, g, o]
+            m = ms_ref[:, l, k]     # M = [g, c_prev, i, tanh_c]
+            tanh_c = m[:, 3 * hdim :]
+            ff = acts[:, hdim : 2 * hdim]
+            oo = acts[:, 3 * hdim :]
             drnn = dr1_scr[l, :, k] + dh_scr[l]
-            do = drnn * tanh_c
             dc = drnn * oo * (1.0 - tanh_c * tanh_c) + dc_scr[l]
-            di = dc * gg
-            df = dc * c_prev
-            dg = dc * ii
             dc_prev = dc * ff
-            dgates = jnp.concatenate(
-                [
-                    di * ii * (1.0 - ii),
-                    df * ff * (1.0 - ff),
-                    dg * (1.0 - gg * gg),
-                    do * oo * (1.0 - oo),
-                ],
-                axis=-1,
+            dstack = jnp.where(
+                mask_o,
+                jnp.concatenate([drnn, drnn, drnn, drnn], axis=-1),
+                jnp.concatenate([dc, dc, dc, dc], axis=-1),
             )
+            u = dstack * m
+            a2 = acts * acts
+            d_act = jnp.where(mask_g, 1.0 - a2, acts - a2)
             tt = s - l * tc
             valid = jnp.logical_and(tt >= 0, tt < t_real)
-            dgates = jnp.where(valid, dgates, 0.0)
-            dgs_ref[:, l, k] = dgates
+            dgates = jnp.where(valid, u * d_act, 0.0)
+            dgc_scr[l, :, k] = dgates
             dh_prev = jax.lax.dot_general(
                 dgates.astype(whh_ref.dtype), whh_ref[l],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -307,8 +354,8 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, tc, cell, 0)
 
-    # ---- phase 3: batched dx chunk for the block below ----
-    dg_chunk = jnp.stack([dgs_ref[:, l] for l in range(L)], axis=0)
+    # ---- phase 3: batched dx chunk for the block below + dW ----
+    dg_chunk = dgc_scr[:]  # (L, B, K, 4H)
     dx = (
         jax.lax.dot_general(
             dg_chunk.astype(wih_ref.dtype), wih_ref[:],
@@ -323,6 +370,26 @@ def _bwd_kernel(
     dx_scr[:] = jnp.where(
         jnp.logical_and(tt >= 0, tt < t_real), dx, 0.0
     )
+    dx0_ref[:] = dx_scr[0]
+
+    # LSTM weight grads at B*K contraction width (invalid slots carry
+    # dgates == 0, so frozen/garbage trajectory rows contribute zero)
+    mmr = wih_ref.dtype
+    dg2d = dg_chunk.reshape(L, b * tc, 4 * hdim)
+    x2d = x_chunk.reshape(L, b * tc, hdim)
+    hsp_chunk = jnp.stack([hsp_ref[:, l] for l in range(L)], axis=0)
+    hsp2d = hsp_chunk.reshape(L, b * tc, hdim)
+    dwih_ref[:] += jax.lax.dot_general(
+        x2d.astype(mmr), dg2d.astype(mmr),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dwhh_ref[:] += jax.lax.dot_general(
+        hsp2d.astype(mmr), dg2d.astype(mmr),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dbg_ref[:] += jnp.sum(dg_chunk, axis=(1, 2))
 
     @pl.when(t == nt - 1)
     def _():
@@ -375,10 +442,11 @@ def _make_fwd(t_real: int):
                 full(g2.shape), full(b2.shape),
                 state, state,
             ],
-            out_specs=(chunk(g4), chunk(h), chunk(h), chunk(h), state, state),
+            out_specs=(chunk(g4), chunk(g4), chunk(h), chunk(h), state,
+                       state),
             out_shape=(
                 jax.ShapeDtypeStruct((b, num_layers, s_pad, g4), jnp.float32),
-                jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, s_pad, g4), jnp.float32),
                 jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
                 jax.ShapeDtypeStruct((b, num_layers, s_pad, h), jnp.float32),
                 jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
@@ -396,9 +464,9 @@ def _make_fwd(t_real: int):
 
 
 def _make_bwd(t_real: int):
-    def bwd(gs, csp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
-            dhn, dcn):
-        b, num_layers, s_pad, g4 = gs.shape
+    def bwd(as_, ms, hsp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff,
+            g1, b1, g2, dhn, dcn):
+        b, num_layers, s_pad, g4 = as_.shape
         h = g4 // 4
         nt = s_pad // CHUNK_S
         rev = lambda d: pl.BlockSpec(
@@ -420,7 +488,7 @@ def _make_bwd(t_real: int):
             ),
             grid=(nt,),
             in_specs=[
-                rev(g4), rev(h), rev(h), rev(h),
+                rev(g4), rev(g4), rev(h), rev(h), rev(h),
                 pl.BlockSpec(
                     (b, CHUNK_S, h), lambda t: (0, nt - 1 - t, 0),
                     memory_space=pltpu.VMEM,
@@ -430,11 +498,31 @@ def _make_bwd(t_real: int):
                 full(g2.shape),
                 state, state,
             ],
-            out_specs=(rev(g4), state, state),
+            out_specs=(
+                pl.BlockSpec(
+                    (b, CHUNK_S, h), lambda t: (0, nt - 1 - t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                state, state,
+                full((num_layers, h, g4)), full((num_layers, g4)),
+                full((num_layers, h, g4)), full((num_layers, h, h)),
+                full((num_layers, h)), full((num_layers, h)),
+                full((num_layers, h)), full((num_layers, h)),
+                full((num_layers, h)),
+            ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, num_layers, s_pad, g4), jnp.float32),
+                jax.ShapeDtypeStruct((b, s_pad, h), jnp.float32),
                 jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
                 jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h, g4), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, g4), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h, g4), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((num_layers, h), jnp.float32),
             ),
             compiler_params=_COMPILER_PARAMS,
             scratch_shapes=[
@@ -442,9 +530,12 @@ def _make_bwd(t_real: int):
                 pltpu.VMEM((num_layers, b, h), jnp.float32),
                 pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
                 pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+                pltpu.VMEM(
+                    (num_layers, b, CHUNK_S, 4 * h), jnp.float32
+                ),
             ],
-        )(gs, csp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
-          dhn, dcn)
+        )(as_, ms, hsp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff,
+          g1, b1, g2, dhn, dcn)
 
     return bwd
 
@@ -463,21 +554,25 @@ def _fwd_sharded_for(t_real: int):
         sharding_rule=(
             "b s h, l h g, l g, l h g, l h i, l h, l h, l h, l h, l h, "
             "b l h, b l h "
-            "-> b l s g, b l s h, b l s h, b l s h, b l h, b l h"
+            "-> b l s g, b l s g, b l s h, b l s h, b l h, b l h"
         ),
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _bwd_sharded_for(t_real: int):
+    # the nine parameter grads are batch sums -> psum'd over the batch
+    # mesh axis in the partitioned lowering
     return shard_batch_dim(
         _make_bwd(t_real),
-        batch_args=(0, 1, 2, 3, 4, 12, 13),
-        out_is_batched=(True, True, True),
+        batch_args=(0, 1, 2, 3, 4, 5, 13, 14),
+        out_is_batched=(True, True, True) + (False,) * 9,
+        reduce_outs=tuple(range(3, 12)),
         sharding_rule=(
-            "b l s g, b l s h, b l s h, b l s h, b s h, "
+            "b l s g, b l s g, b l s h, b l s h, b l s h, b s h, "
             "l h g, l h g, l h i, l h, l h, l h, l h, b l h, b l h "
-            "-> b l s g, b l h, b l h"
+            "-> b s h, b l h, b l h, l h g, l g, l h g, l h i, l h, "
+            "l h, l h, l h, l h"
         ),
     )
 
@@ -511,14 +606,14 @@ def _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
     x0s = _pad_slots(x0, 1, s_pad)
     h0b = jnp.swapaxes(h0, 0, 1)
     c0b = jnp.swapaxes(c0, 0, 1)
-    gs, cs, hs, os_, hn, cn = _fwd_sharded_for(t)(
+    as_, ms, hs, os_, hn, cn = _fwd_sharded_for(t)(
         x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0b, c0b
     )
     off = (num_layers - 1) * CHUNK_S
     out_top = os_[:, num_layers - 1, off : off + t]
     out = (out_top, (jnp.swapaxes(hn, 0, 1), jnp.swapaxes(cn, 0, 1)))
     res = (x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
-           h0b, c0b, gs, cs, hs, os_)
+           h0b, c0b, as_, ms, hs, os_)
     return out, res
 
 
@@ -529,12 +624,11 @@ def _vjp_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
 
 def _vjp_bwd(res, cot):
     (x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
-     h0b, c0b, gs, cs, hs, os_) = res
+     h0b, c0b, as_, ms, hs, os_) = res
     dout_top, (dhn, dcn) = cot
     t = dout_top.shape[1]
     b, num_layers, s_pad, h = hs.shape
     K = CHUNK_S
-    mm = w_hh_t.dtype
     f32 = jnp.float32
 
     # block inputs per slot: block 0 reads x0 (t == s), block l reads
@@ -545,7 +639,7 @@ def _vjp_bwd(res, cot):
         axis=2,
     )
     xs = jnp.concatenate([x0s[:, None], below], axis=1)
-    csp = jnp.concatenate([c0b[:, :, None], cs[:, :, :-1]], axis=2)
+    hsp = jnp.concatenate([h0b[:, :, None], hs[:, :, :-1]], axis=2)
 
     off = (num_layers - 1) * K
     dys_slot = jnp.zeros((b, s_pad, h), f32)
@@ -553,113 +647,28 @@ def _vjp_bwd(res, cot):
         dys_slot, dout_top.astype(f32), (0, off, 0)
     )
 
-    dgs, dh0b, dc0b = _bwd_sharded_for(t)(
-        gs, csp, hs, xs, dys_slot,
+    (dx0s, dh0b, dc0b, dwih, dbg, dwhh, dwff, dbff,
+     dg1, db1, dg2, db2) = _bwd_sharded_for(t)(
+        as_, ms, hsp, hs, xs, dys_slot,
         w_ih_t, w_hh_t, w_ff, b_ff, g1, b1, g2,
         jnp.swapaxes(dhn, 0, 1).astype(f32),
         jnp.swapaxes(dcn, 0, 1).astype(f32),
     )
-
-    # ---- full-sequence recompute of the block tails for weight grads
-    # (valid slots only matter: every sum below is gated by dgates == 0
-    # or the zero-propagating dout chain) ----
-    r1 = hs + xs
-    mu1 = jnp.mean(r1, axis=-1, keepdims=True)
-    var1 = jnp.mean(r1 * r1, axis=-1, keepdims=True) - mu1 * mu1
-    rstd1 = jax.lax.rsqrt(var1 + LN_EPS)
-    xhat1 = (r1 - mu1) * rstd1
-    y = xhat1 * g1[None, :, None] + b1[None, :, None]
-    z = jnp.einsum(
-        "blsh,lhi->blsi", y.astype(mm), w_ff.astype(mm),
-        preferred_element_type=f32,
-    ) + b_ff[None, :, None]
-    r2 = z + y
-    mu2 = jnp.mean(r2, axis=-1, keepdims=True)
-    var2 = jnp.mean(r2 * r2, axis=-1, keepdims=True) - mu2 * mu2
-    rstd2 = jax.lax.rsqrt(var2 + LN_EPS)
-    xhat2 = (r2 - mu2) * rstd2
-
-    def ln_bwd(gout, xhat, rstd, scale):
-        ggd = gout * scale
-        return rstd * (
-            ggd
-            - jnp.mean(ggd, axis=-1, keepdims=True)
-            - xhat * jnp.mean(ggd * xhat, axis=-1, keepdims=True)
-        )
-
-    # top-down residual chain: per block, dout -> dr2 -> dy -> dr1; the
-    # block below receives (dgates @ W_ih^T + dr1) shifted K slots left
-    douts = [None] * num_layers
-    dzs = [None] * num_layers
-    dr1_0 = None
-    dys_cur = dys_slot
-    for l in range(num_layers - 1, -1, -1):
-        dout = dys_cur
-        dr2 = ln_bwd(dout, xhat2[:, l], rstd2[:, l], g2[l])
-        dz = dr2
-        dy = jnp.einsum(
-            "bsi,hi->bsh", dz.astype(mm), w_ff[l].astype(mm),
-            preferred_element_type=f32,
-        ) + dr2
-        dr1 = ln_bwd(dy, xhat1[:, l], rstd1[:, l], g1[l])
-        douts[l] = dout
-        dzs[l] = dz
-        if l > 0:
-            dx = jnp.einsum(
-                "bsg,hg->bsh", dgs[:, l].astype(mm), w_ih_t[l].astype(mm),
-                preferred_element_type=f32,
-            ) + dr1
-            dys_cur = jnp.concatenate(
-                [dx[:, K:], jnp.zeros((b, K, h), f32)], axis=1
-            )
-        else:
-            dr1_0 = dr1
-
-    douts_all = jnp.stack(douts, axis=1)  # (B, L, S, H)
-    dzs_all = jnp.stack(dzs, axis=1)
-    # dy per block, recomputed batched for the LN1 parameter grads
-    dys_all = dzs_all @ jnp.swapaxes(w_ff, 1, 2).astype(f32) + ln_bwd(
-        douts_all, xhat2, rstd2, g2[None, :, None]
-    )
-
-    dg2 = jnp.einsum("blsh,blsh->lh", douts_all, xhat2)
-    db2 = jnp.einsum("blsh->lh", douts_all)
-    # Precision.HIGHEST on all weight-grad einsums: default TPU
-    # precision (single-pass bf16 operands) measures 5-15% relative dW
-    # error under these contractions' cancellation in f32 mode
-    # (round-5 finding on the LSTM kernels); no-op for bf16 operands
-    hi = jax.lax.Precision.HIGHEST
-    dwff = jnp.einsum(
-        "blsh,blsi->lhi", y.astype(mm), dzs_all.astype(mm),
-        preferred_element_type=f32, precision=hi,
-    ).astype(w_ff.dtype)
-    dbff = jnp.einsum("blsh->lh", dzs_all)
-    dg1 = jnp.einsum("blsh,blsh->lh", dys_all, xhat1)
-    db1 = jnp.einsum("blsh->lh", dys_all)
-
-    hsp = jnp.concatenate([h0b[:, :, None], hs[:, :, :-1]], axis=2)
-    dwhh = jnp.einsum(
-        "blsh,blsg->lhg", hsp.astype(mm), dgs.astype(mm),
-        preferred_element_type=f32, precision=hi,
-    ).astype(w_hh_t.dtype)
-    dwih = jnp.einsum(
-        "blsh,blsg->lhg", xs.astype(mm), dgs.astype(mm),
-        preferred_element_type=f32, precision=hi,
-    ).astype(w_ih_t.dtype)
-    dbg = jnp.einsum("blsg->lg", dgs)
-
-    dx0 = (
-        jnp.einsum(
-            "bsg,hg->bsh", dgs[:, 0].astype(mm), w_ih_t[0].astype(mm),
-            preferred_element_type=f32,
-        )
-        + dr1_0
-    )[:, :t]
-
     return (
-        dx0, dwih, dbg, dwhh, dwff, dbff, dg1, db1, dg2, db2,
-        jnp.swapaxes(dh0b, 0, 1), jnp.swapaxes(dc0b, 0, 1),
+        dx0s[:, :t],
+        dwih.astype(w_ih_t.dtype),
+        dbg,
+        dwhh.astype(w_hh_t.dtype),
+        dwff.astype(w_ff.dtype),
+        dbff,
+        dg1,
+        db1,
+        dg2,
+        db2,
+        jnp.swapaxes(dh0b, 0, 1),
+        jnp.swapaxes(dc0b, 0, 1),
     )
+
 
 
 mixer_stack_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
