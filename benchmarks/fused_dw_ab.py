@@ -134,7 +134,7 @@ def kernel_only(args):
 
     def timeit(fn):
         out = fn(xw0, w_ih_t, b_rest, w_hh_t)
-        jax.block_until_ready(out)
+        float(out[0].ravel()[0])  # host readback = the only real sync
         x = xw0
 
         def run(n, x):
@@ -142,7 +142,9 @@ def kernel_only(args):
             for i in range(n):
                 out = fn(x, w_ih_t, b_rest, w_hh_t)
                 x = x + jnp.tanh(out[0]) * 1e-4  # defeat memoization
-            jax.block_until_ready(x)
+            # jax.block_until_ready does NOT block on the axon tunnel
+            # (verify skill) — a scalar readback is the real sync
+            float(out[0].ravel()[0])
             return time.perf_counter() - t0, x
 
         slopes = []
