@@ -230,12 +230,63 @@ def check_attention(record):
     assert worst < 5e-2, worst
 
 
+def check_encoder(record):
+    """Metaformer fwd loss + param grads: fused mixer-stack wavefront
+    (MRGEN_FUSED_ENCODER, default-on since round 5) vs the per-layer
+    kernel path, on the real chip, f32."""
+    import bench
+    from multimodalreactiongeneration_tpu.models.lstmformer import Metaformer
+
+    cfg = dict(bench.BENCH_CFG)
+    b, t, lead, ratio = 4, 120, 4, bench.RATIO
+    ks = jax.random.split(jax.random.PRNGKey(70), 7)
+    data = (
+        jax.random.normal(ks[0], (b, t * ratio, 81)),
+        jax.random.normal(ks[1], (b, t, 18)),
+        jax.random.normal(ks[2], (b, t, 18)),
+        jax.random.normal(ks[3], (b, lead * ratio, 81)),
+        jax.random.normal(ks[4], (b, lead, 18)),
+        jax.random.normal(ks[5], (b, lead, 18)),
+        jax.random.normal(ks[6], (b, t, 18)),
+    )
+    model = Metaformer(cfg=cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(71), *data[:6])
+
+    def loss(p):
+        out = model.apply(p, *data[:6])
+        out = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(out**2)
+
+    grads = {}
+    for flag in ("0", "1"):
+        os.environ["MRGEN_FUSED_ENCODER"] = flag
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        grads[flag] = (float(l), g)
+    os.environ.pop("MRGEN_FUSED_ENCODER", None)
+    l0, g0 = grads["0"]
+    l1, g1 = grads["1"]
+    record["encoder_loss_absdiff"] = abs(l1 - l0)
+    worst = 0.0
+    for (pa, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(g0),
+        jax.tree_util.tree_leaves_with_path(g1),
+    ):
+        rel = float(jnp.max(jnp.abs(a - b_))) / max(
+            float(jnp.max(jnp.abs(a))), 1e-4
+        )
+        worst = max(worst, rel)
+    record["encoder_grad_rel"] = worst
+    assert abs(l1 - l0) < 1e-3, (l0, l1)
+    assert worst < 5e-2, worst
+
+
 CHECKS = {
     "stacked": check_stacked,
     "single": check_single,
     "gru": check_gru,
     "rollout": check_rollout,
     "attention": check_attention,
+    "encoder": check_encoder,
 }
 
 
@@ -249,7 +300,7 @@ def main():
     )
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--checks", default="stacked,single,gru,rollout,attention"
+        "--checks", default="stacked,single,gru,rollout,attention,encoder"
     )
     args = ap.parse_args()
 

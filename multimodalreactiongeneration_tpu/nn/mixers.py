@@ -334,16 +334,16 @@ class RecurrentMixerLayerd(nn.Module):
         """Run the whole block stack as ONE chunk-lag wavefront kernel
         (ops/pallas_mixer_stack.py); returns None to fall back.
 
-        OPT-IN via MRGEN_FUSED_ENCODER=1: the fused FORWARD measures
-        1.9x the unfused stack (5.6 vs 10.7 ms, audio encoder
-        B32 x T1920 x H256 x L5 on v5e, 2026-08-17), but training is
-        backward-dominated and the fused fwd+bwd measures 43 vs 32 ms —
-        the reverse wavefront must re-run the block tails per chunk on
-        the serial chain, which the unfused path gets as full-sequence
-        XLA ops. Enable for forward-heavy workloads (eval sweeps,
-        forward-only feature extraction); training keeps the per-layer
-        kernels by default. Measured numbers and the schedule design
-        live in the kernel module docstring.
+        DEFAULT ON since round 5 (MRGEN_FUSED_ENCODER=0 reverts): the
+        round-3 version won the forward 1.9x but LOST training (43 vs
+        32 ms — its backward re-derived every parameter grad with a
+        full-sequence recompute + einsums outside the kernel). The
+        round-5 backward rewrite (wide-form derivative chain over
+        stored A/M residuals, all nine parameter grads accumulated
+        in-kernel per chunk, dx0 the only trajectory output) flips it:
+        B32 x T240 bf16 metaformer train step 48.7 ms unfused ->
+        42.9 ms fused (on-chip, 2026-08-21). Measured numbers and the
+        schedule design live in the kernel module docstring.
 
         Params are declared through the low-level scope API at the
         EXACT paths the unfused submodules would create
@@ -360,7 +360,7 @@ class RecurrentMixerLayerd(nn.Module):
             resolve_impl,
         )
 
-        if os.environ.get("MRGEN_FUSED_ENCODER", "0") != "1":
+        if os.environ.get("MRGEN_FUSED_ENCODER", "1") == "0":
             return None
         if not (
             self.kind == "lstm"

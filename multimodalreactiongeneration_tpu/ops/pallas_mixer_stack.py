@@ -31,34 +31,36 @@ block's correct chunk. Invalid slots freeze h/c at the block state,
 which makes the backward's one-slot-shifted c/h reads correct at every
 block's first step.
 
-The backward mirrors the schedule (tail-bwd batched, then K reverse
-cell steps) and emits only the dgates trajectory plus dh0/dc0; weight,
-bias and LN-scale gradients and the dx0 cotangent reduce OUTSIDE the
-kernel as full-sequence einsums plus a cheap L-step top-down residual
-chain (_vjp_bwd) — the "only the truly sequential work stays in-kernel"
-split of ops/pallas_lstm.py.
+The backward (REWRITTEN round 5) mirrors the schedule — batched
+tail-bwd, then K reverse cell steps — with the round-5 kernel
+techniques: the forward stores wide residuals ``A = [i, f, g, o]`` /
+``M = [g, c_prev, i, tanh c]`` so the reverse cells are a shallow
+wide-form derivative chain with ZERO transcendentals, and ALL nine
+parameter gradients (W_ih/b_g/W_hh/W_ff/b_ff/LN scales+biases)
+accumulate into constant-index output blocks per chunk at B*K
+contraction width. dx0 is the only trajectory-sized output. The
+round-3/4 design emitted the (B, L, S, 4H) dgates trajectory and
+re-derived every parameter grad with a full-sequence recompute +
+einsums outside the kernel (~12 ms at the audio-encoder shape) — that
+is what made it lose the train step then.
 
 Numerics: f32 state/accumulation; weight dtype selects MXU matmul
 precision (bf16 weights = full-rate bf16 matmuls). Matches the unfused
 module stack to ~1e-5 f32 incl. every gradient
-(tests/test_pallas_mixer_stack.py), and train-step losses track the
-scan path to 4e-4 over 3 steps on-chip.
+(tests/test_pallas_mixer_stack.py).
 
-MEASURED RESULT (v5e, audio encoder B32 x T1920 x H256 x L5,
-2026-08-17): forward 5.6 ms fused vs 10.7 ms unfused (1.9x) — the
-inter-block HBM round-trips and 4/5 of the cell-chain latency are
-gone. Training does NOT win: fused fwd+bwd is 43.2 ms vs 32.1 ms
-unfused (bwd kernel alone 25.1 ms — the reverse wavefront re-runs the
-block tails per chunk ON the serial chain, where the unfused path gets
-them as fully-parallel XLA ops over the whole sequence; plus ~12 ms of
-full-sequence recompute in _vjp_bwd). Wiring is therefore OPT-IN
-(MRGEN_FUSED_ENCODER=1 in RecurrentMixerLayerd._fused_stack) for
-forward-heavy workloads; the default training path keeps the
-per-layer ops/pallas_lstm.py kernels. Two earlier schedules measured
-worse and shaped this one: a lag-1 wavefront with per-timestep tails
-(90 ms full step vs 58 baseline — single-row VPU tails on the chain)
-and a layer-batched-matmul variant with per-step (B,L,H)<->(L,B,H)
-relayouts (83 ms — Mosaic vector relayouts dominate at these sizes).
+MEASURED RESULTS (v5e): forward 5.6 ms fused vs 10.7 ms unfused at the
+audio-encoder shape (1.9x, 2026-08-17 — inter-block HBM round-trips
+and 4/5 of the cell-chain latency gone). Training with the round-3
+backward LOST (43.2 vs 32.1 ms full step); with the round-5 backward
+it WINS: B32 x T240 bf16 metaformer train step 48.7 ms unfused ->
+42.9 ms fused (2026-08-21), so the wiring is DEFAULT-ON
+(MRGEN_FUSED_ENCODER=0 reverts, RecurrentMixerLayerd._fused_stack).
+Two earlier schedules measured worse and shaped this one: a lag-1
+wavefront with per-timestep tails (90 ms full step vs 58 baseline —
+single-row VPU tails on the chain) and a layer-batched-matmul variant
+with per-step (B,L,H)<->(L,B,H) relayouts (83 ms — Mosaic vector
+relayouts dominate at these sizes).
 """
 
 from __future__ import annotations
