@@ -212,6 +212,88 @@ def _fwd_kernel(
             cn_ref[:, l] = c_scr[l]
 
 
+def _fwd_kernel_light(
+    x0_ref, wih_ref, bg_ref, whh_ref, wff_ref, bff_ref,
+    g1_ref, b1_ref, g2_ref, b2_ref, h0_ref, c0_ref,
+    os_ref, hn_ref, cn_ref,
+    h_scr, c_scr, xin_scr, rnn_scr,
+    *, t_real, num_layers,
+):
+    """Inference forward: NO residual trajectories, top-block output
+    only. The full variant writes A/M/h trajectories — 2.3 GB/HBM per
+    batch-16 decode-length generation that autodiff alone needs; the
+    primal (decode's hoisted encoder pass, eval sweeps) must not pay
+    it. Cell h values stage through a VMEM scratch instead of an
+    output ref; inter-block chunk staging already lived in xin_scr."""
+    t = pl.program_id(0)
+    tc = x0_ref.shape[1]
+    hdim = h_scr.shape[-1]
+    L = num_layers
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        for l in range(L):
+            h_scr[l] = h0_ref[:, l]
+            c_scr[l] = c0_ref[:, l]
+        xin_scr[:] = jnp.zeros_like(xin_scr)
+
+    xin_scr[0] = x0_ref[:]
+
+    def cell(k, _):
+        s = t * tc + k
+        for l in range(L):
+            x_l = xin_scr[l, :, k]
+            h_l = h_scr[l]
+            gates = (
+                jnp.dot(
+                    x_l.astype(wih_ref.dtype), wih_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    h_l.astype(whh_ref.dtype), whh_ref[l],
+                    preferred_element_type=jnp.float32,
+                )
+                + bg_ref[l]
+            )
+            ii, ff, gg, oo = _split_gates4(gates, hdim)
+            c = ff * c_scr[l] + ii * gg
+            rnn = oo * jnp.tanh(c)
+            tt = s - l * tc
+            valid = jnp.logical_and(tt >= 0, tt < t_real)
+            h_new = jnp.where(valid, rnn, h_l)
+            h_scr[l] = h_new
+            c_scr[l] = jnp.where(valid, c, c_scr[l])
+            rnn_scr[l, :, k] = h_new
+        return 0
+
+    jax.lax.fori_loop(0, tc, cell, 0)
+
+    r1 = rnn_scr[:] + xin_scr[:]
+    y, _, _ = _ln_fwd(
+        r1, g1_ref[:][:, None, None], b1_ref[:][:, None, None]
+    )
+    z = (
+        jax.lax.dot_general(
+            y.astype(wff_ref.dtype), wff_ref[:],
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + bff_ref[:][:, None, None]
+    )
+    out, _, _ = _ln_fwd(
+        z + y, g2_ref[:][:, None, None], b2_ref[:][:, None, None]
+    )
+    os_ref[:] = out[L - 1]
+    xin_scr[1:] = out[: L - 1]
+
+    @pl.when(t == nt - 1)
+    def _():
+        for l in range(L):
+            hn_ref[:, l] = h_scr[l]
+            cn_ref[:, l] = c_scr[l]
+
+
 def _bwd_kernel(
     as_ref, ms_ref, hsp_ref, hs_ref, xs_ref, dys_ref,
     wih_ref, whh_ref, wff_ref, bff_ref, g1_ref, b1_ref, g2_ref,
@@ -465,6 +547,59 @@ def _make_fwd(t_real: int):
     return fwd
 
 
+def _make_fwd_light(t_real: int):
+    def fwd(x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
+        b, s_pad, h = x0s.shape
+        num_layers = w_hh_t.shape[0]
+        nt = s_pad // CHUNK_S
+        state = pl.BlockSpec(
+            (b, num_layers, h), lambda t: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda t: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_light, t_real=t_real, num_layers=num_layers
+            ),
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec(
+                    (b, CHUNK_S, h), lambda t: (0, t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                full(w_ih_t.shape), full(b_g.shape), full(w_hh_t.shape),
+                full(w_ff.shape), full(b_ff.shape),
+                full(g1.shape), full(b1.shape),
+                full(g2.shape), full(b2.shape),
+                state, state,
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (b, CHUNK_S, h), lambda t: (0, t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                state, state,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, s_pad, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+                jax.ShapeDtypeStruct((b, num_layers, h), jnp.float32),
+            ),
+            compiler_params=_COMPILER_PARAMS,
+            scratch_shapes=[
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+                pltpu.VMEM((num_layers, b, CHUNK_S, h), jnp.float32),
+            ],
+        )(x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0)
+
+    return fwd
+
+
 def _make_bwd(t_real: int):
     def bwd(as_, ms, hsp, hs, xs, dys, w_ih_t, w_hh_t, w_ff, b_ff,
             g1, b1, g2, dhn, dcn):
@@ -562,6 +697,19 @@ def _fwd_sharded_for(t_real: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _fwd_light_sharded_for(t_real: int):
+    return shard_batch_dim(
+        _make_fwd_light(t_real),
+        batch_args=(0, 10, 11),
+        out_is_batched=(True, True, True),
+        sharding_rule=(
+            "b s h, l h g, l g, l h g, l h i, l h, l h, l h, l h, l h, "
+            "b l h, b l h -> b s h, b l h, b l h"
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _bwd_sharded_for(t_real: int):
     # the nine parameter grads are batch sums -> psum'd over the batch
     # mesh axis in the partitioned lowering
@@ -596,9 +744,21 @@ def mixer_stack_recurrence(
     h0, c0:  (L, B, H) per-block LSTM states, float32
     Returns (out_top (B, T, H), (h_n (L, B, H), c_n (L, B, H))).
     """
-    out, _ = _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
-                      h0, c0)
-    return out
+    # primal: the light kernel — no A/M/h residual trajectories (the
+    # full variant's are autodiff-only and cost ~2.3 GB of HBM writes
+    # per batch-16 decode-length generation), top-block output only
+    b, t, h = x0.shape
+    num_layers = w_hh_t.shape[0]
+    s_pad = _slot_pad_len(t, num_layers)
+    x0s = _pad_slots(x0, 1, s_pad)
+    os_top, hn, cn = _fwd_light_sharded_for(t)(
+        x0s, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2,
+        jnp.swapaxes(h0, 0, 1), jnp.swapaxes(c0, 0, 1),
+    )
+    off = (num_layers - 1) * CHUNK_S
+    return os_top[:, off : off + t], (
+        jnp.swapaxes(hn, 0, 1), jnp.swapaxes(cn, 0, 1),
+    )
 
 
 def _run_fwd(x0, w_ih_t, b_g, w_hh_t, w_ff, b_ff, g1, b1, g2, b2, h0, c0):
